@@ -1,0 +1,79 @@
+"""pytorch_sparse_tpu — a TPU-native sparse linear-algebra framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of
+``rusty1s/pytorch_sparse`` (reference surveyed in ``SURVEY.md``): immutable
+pytree ``SparseTensor`` with COO/CSR/CSC views and observable format caches,
+autograd-capable SpMM (sum/mean/min/max) and SpSpMM, the full structural op
+set, graph partitioning, graph samplers, and a multi-chip distribution layer
+over ``jax.sharding`` meshes.
+"""
+
+__version__ = "0.1.0"
+
+from .storage import SparseStorage  # noqa
+from .tensor import SparseTensor  # noqa
+
+# Op modules attach SparseTensor methods on import.
+from .ops import (  # noqa
+    spmm_sum, spmm_add, spmm_mean, spmm_min, spmm_max, spspmm_sum, matmul,
+    t, transpose, coalesce, eye, spmm, spspmm, spadd,
+    to_jax_sparse, from_jax_sparse, to_torch_sparse, from_torch_sparse,
+    to_scipy, from_scipy,
+    add, add_, add_nnz, add_nnz_, mul, mul_, mul_nnz, mul_nnz_,
+    reduction, non_diag_mask, remove_diag, set_diag, fill_diag, get_diag,
+    index_select, index_select_nnz, masked_select, masked_select_nnz,
+    narrow, select, cat, permute, reverse_cuthill_mckee,
+)
+from .utils import ind2ptr, ptr2ind, index_sort  # noqa
+
+__all__ = [
+    "SparseStorage",
+    "SparseTensor",
+    "spmm_sum",
+    "spmm_add",
+    "spmm_mean",
+    "spmm_min",
+    "spmm_max",
+    "spspmm_sum",
+    "matmul",
+    "t",
+    "transpose",
+    "coalesce",
+    "eye",
+    "spmm",
+    "spspmm",
+    "spadd",
+    "to_jax_sparse",
+    "from_jax_sparse",
+    "to_torch_sparse",
+    "from_torch_sparse",
+    "to_scipy",
+    "from_scipy",
+    "add",
+    "add_",
+    "add_nnz",
+    "add_nnz_",
+    "mul",
+    "mul_",
+    "mul_nnz",
+    "mul_nnz_",
+    "reduction",
+    "non_diag_mask",
+    "remove_diag",
+    "set_diag",
+    "fill_diag",
+    "get_diag",
+    "index_select",
+    "index_select_nnz",
+    "masked_select",
+    "masked_select_nnz",
+    "narrow",
+    "select",
+    "cat",
+    "permute",
+    "reverse_cuthill_mckee",
+    "ind2ptr",
+    "ptr2ind",
+    "index_sort",
+    "__version__",
+]

@@ -1,0 +1,102 @@
+"""Boolean-mask selection (reference ``torch_sparse/masked_select.py``)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..storage import SparseStorage, get_layout
+from ..tensor import SparseTensor
+
+
+def masked_select(src: SparseTensor, dim: int, mask) -> SparseTensor:
+    dim = src.dim() + dim if dim < 0 else dim
+    mask = np.asarray(mask)
+    assert mask.ndim == 1
+
+    if dim == 0:
+        row, col, value = src.coo()
+        row_np = np.asarray(row)
+        rowcount = np.asarray(src.storage.rowcount())[mask]
+
+        edge_mask = mask[row_np]
+        new_row = np.repeat(
+            np.arange(rowcount.shape[0], dtype=np.int32), rowcount
+        )
+        new_col = jnp.asarray(np.asarray(col)[edge_mask])
+        if value is not None:
+            value = value[jnp.asarray(np.nonzero(edge_mask)[0])]
+
+        storage = SparseStorage(
+            row=jnp.asarray(new_row), rowptr=None, col=new_col, value=value,
+            sparse_sizes=(rowcount.shape[0], src.sparse_size(1)),
+            rowcount=jnp.asarray(rowcount), colptr=None, colcount=None,
+            csr2csc=None, csc2csr=None, is_sorted=True, trust_data=True,
+        )
+        return src.from_storage(storage)
+
+    elif dim == 1:
+        row, col, value = src.coo()
+        csr2csc = np.asarray(src.storage.csr2csc())
+        row_csc = np.asarray(row)[csr2csc]
+        col_csc = np.asarray(col)[csr2csc]
+        colcount = np.asarray(src.storage.colcount())[mask]
+
+        edge_mask = mask[col_csc]
+        new_col = np.repeat(
+            np.arange(colcount.shape[0], dtype=np.int32), colcount
+        )
+        new_row = row_csc[edge_mask]
+        csc2csr = np.lexsort((new_col, new_row))
+
+        value_out: Optional[jnp.ndarray] = None
+        if value is not None:
+            sel = csr2csc[np.nonzero(edge_mask)[0]]
+            value_out = value[jnp.asarray(sel)][jnp.asarray(csc2csr)]
+
+        storage = SparseStorage(
+            row=jnp.asarray(new_row[csc2csr]), rowptr=None,
+            col=jnp.asarray(new_col[csc2csr]), value=value_out,
+            sparse_sizes=(src.sparse_size(0), colcount.shape[0]),
+            rowcount=None, colptr=None, colcount=jnp.asarray(colcount),
+            csr2csc=None, csc2csr=jnp.asarray(csc2csr.astype(np.int32)),
+            is_sorted=True, trust_data=True,
+        )
+        return src.from_storage(storage)
+
+    else:
+        value = src.storage.value()
+        if value is not None:
+            idx = jnp.asarray(np.nonzero(mask)[0])
+            return src.set_value(
+                jnp.take(value, idx, axis=dim - 1), layout="coo"
+            )
+        raise ValueError("Cannot masked-select dense dims without values")
+
+
+def masked_select_nnz(
+    src: SparseTensor, mask, layout: Optional[str] = None
+) -> SparseTensor:
+    mask = np.asarray(mask)
+    assert mask.ndim == 1
+    if get_layout(layout) == "csc":
+        mask = mask[np.asarray(src.storage.csc2csr())]
+
+    idx = jnp.asarray(np.nonzero(mask)[0])
+    row, col, value = src.coo()
+    row, col = row[idx], col[idx]
+    if value is not None:
+        value = value[idx]
+    return SparseTensor(
+        row=row, rowptr=None, col=col, value=value,
+        sparse_sizes=src.sparse_sizes(), is_sorted=True, trust_data=True,
+    )
+
+
+SparseTensor.masked_select = lambda self, dim, mask: masked_select(
+    self, dim, mask)
+SparseTensor.masked_select_nnz = (
+    lambda self, mask, layout=None: masked_select_nnz(self, mask, layout)
+)

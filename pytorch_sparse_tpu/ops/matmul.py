@@ -1,0 +1,341 @@
+"""Sparse x dense (SpMM) and sparse x sparse (SpSpMM) matmul with autograd.
+
+TPU-native re-design of the reference's ``torch_sparse/matmul.py`` +
+``csrc/spmm.cpp``.  Gradient semantics replicate the reference exactly:
+
+* Gradients flow **only to `value` and the dense operand**, never to the
+  index structure (reference ``README.md:29``).
+* ``sum``: ``grad_value[e] = <mat[col[e]], grad_out[row[e]]>`` (the per-nnz
+  dot of ``csrc/spmm.cpp:96-98`` / ``cpu/spmm_cpu.cpp:103-152``) and
+  ``grad_mat = A^T @ grad_out`` (``csrc/spmm.cpp:100-108``) — here expressed
+  as a col-keyed scatter-add instead of a csr2csc-permuted second SpMM,
+  which XLA fuses with the backward graph.
+* ``mean``: forward divides by ``max(rowcount, 1)`` and backward folds
+  ``1/deg`` into both gradients (``csrc/spmm.cpp:115-183``).
+* ``min``/``max``: forward records an argout per (row, feature) with the
+  out-of-range sentinel ``arg == E`` marking empty rows
+  (``csrc/spmm.cpp:204-303``); backward routes gradients through the argout
+  only.
+
+The forward computation itself is the gather/segment-reduce formulation:
+``out = segment_reduce(value * mat[col], row)``.  XLA lowers the gather +
+multiply + segmented reduction into fused HBM-bandwidth-bound loops; a
+Pallas kernel path (``ops/kernels/spmm_pallas.py``) covers the cases where
+hand-tiling beats XLA's lowering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import dtypes
+
+from ..storage import SparseStorage
+from ..tensor import SparseTensor
+from .segment import segment_count, segment_mean, segment_min, segment_max, segment_sum
+
+
+def _int_zero(x):
+    """Symbolic-zero cotangent for integer primal inputs."""
+    return np.zeros(x.shape, dtype=dtypes.float0)
+
+
+# ----------------------------------------------------------------------
+# Core COO SpMM primitives over raw arrays.  ``value`` may be None
+# (implicit ones).  ``mat`` is (N, K); batching is added by vmap in the
+# public dispatcher.
+# ----------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_sum(M: int, row, col, value, mat):
+    h = jnp.take(mat, col, axis=0)
+    if value is not None:
+        h = h * value[:, None].astype(h.dtype)
+    return segment_sum(h, row, M, indices_are_sorted=True)
+
+
+def _spmm_sum_fwd(M, row, col, value, mat):
+    out = _spmm_sum(M, row, col, value, mat)
+    return out, (row, col, value, mat)
+
+
+def _spmm_sum_bwd(M, res, grad):
+    row, col, value, mat = res
+    grad_value = None
+    if value is not None:
+        # per-nnz dot of mat row and grad row (cpu/spmm_cpu.cpp:126-148).
+        grad_value = jnp.sum(
+            jnp.take(mat, col, axis=0) * jnp.take(grad, row, axis=0), axis=-1
+        ).astype(value.dtype)
+    # grad_mat = A^T grad (csrc/spmm.cpp:100-108).
+    g = jnp.take(grad, row, axis=0)
+    if value is not None:
+        g = g * value[:, None].astype(g.dtype)
+    grad_mat = jnp.zeros_like(mat).at[col].add(g.astype(mat.dtype))
+    return (_int_zero(row), _int_zero(col), grad_value, grad_mat)
+
+
+_spmm_sum.defvjp(_spmm_sum_fwd, _spmm_sum_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_mean(M: int, row, col, value, mat):
+    h = jnp.take(mat, col, axis=0)
+    if value is not None:
+        h = h * value[:, None].astype(h.dtype)
+    return segment_mean(h, row, M, indices_are_sorted=True)
+
+
+def _spmm_mean_fwd(M, row, col, value, mat):
+    out = _spmm_mean(M, row, col, value, mat)
+    return out, (row, col, value, mat)
+
+
+def _spmm_mean_bwd(M, res, grad):
+    row, col, value, mat = res
+    deg = jnp.maximum(
+        segment_count(row, M, indices_are_sorted=True), 1
+    ).astype(grad.dtype)
+    # Fold 1/deg into the incoming gradient (csrc/spmm.cpp:166-177).
+    gscaled = grad / deg[:, None]
+    grad_value = None
+    if value is not None:
+        grad_value = jnp.sum(
+            jnp.take(mat, col, axis=0) * jnp.take(gscaled, row, axis=0),
+            axis=-1,
+        ).astype(value.dtype)
+    g = jnp.take(gscaled, row, axis=0)
+    if value is not None:
+        g = g * value[:, None].astype(g.dtype)
+    grad_mat = jnp.zeros_like(mat).at[col].add(g.astype(mat.dtype))
+    return (_int_zero(row), _int_zero(col), grad_value, grad_mat)
+
+
+_spmm_mean.defvjp(_spmm_mean_fwd, _spmm_mean_bwd)
+
+
+def _spmm_minmax_raw(M, row, col, value, mat, is_min):
+    E = row.shape[0]
+    h = jnp.take(mat, col, axis=0)
+    if value is not None:
+        h = h * value[:, None].astype(h.dtype)
+    seg = segment_min if is_min else segment_max
+    out = seg(h, row, M, indices_are_sorted=True)
+    # argout: first nnz per (row, feature) achieving the extremum; empty
+    # rows keep the sentinel E (csrc/spmm.cpp:210-211).
+    e_idx = jnp.arange(E, dtype=jnp.int32)[:, None]
+    cand = jnp.where(h == jnp.take(out, row, axis=0), e_idx, E)
+    arg = segment_min(cand, row, M, indices_are_sorted=True)
+    # segment_min zeroes empty segments -> restore sentinel E there.
+    count = segment_count(row, M, indices_are_sorted=True)
+    arg = jnp.where(count[:, None] > 0, arg, E)
+    return out, arg
+
+
+def _minmax_bwd_common(row, col, value, mat, arg, grad):
+    E = row.shape[0]
+    K = grad.shape[-1]
+    karange = jnp.arange(K, dtype=jnp.int32)[None, :]
+    # Scatter grad through argout; sentinel rows land in the extra slot.
+    tmp = jnp.zeros((E + 1, K), dtype=grad.dtype).at[arg, karange].add(grad)
+    tmp = tmp[:E]
+    grad_value = None
+    if value is not None:
+        grad_value = jnp.sum(
+            tmp * jnp.take(mat, col, axis=0), axis=-1
+        ).astype(value.dtype)
+        tmp = tmp * value[:, None].astype(tmp.dtype)
+    grad_mat = jnp.zeros_like(mat).at[col].add(tmp.astype(mat.dtype))
+    return grad_value, grad_mat
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_min(M: int, row, col, value, mat):
+    return _spmm_minmax_raw(M, row, col, value, mat, True)
+
+
+def _spmm_min_fwd(M, row, col, value, mat):
+    out, arg = _spmm_minmax_raw(M, row, col, value, mat, True)
+    return (out, arg), (row, col, value, mat, arg)
+
+
+def _spmm_min_bwd(M, res, grads):
+    row, col, value, mat, arg = res
+    grad, _ = grads
+    grad_value, grad_mat = _minmax_bwd_common(row, col, value, mat, arg, grad)
+    return (_int_zero(row), _int_zero(col), grad_value, grad_mat)
+
+
+_spmm_min.defvjp(_spmm_min_fwd, _spmm_min_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_max(M: int, row, col, value, mat):
+    return _spmm_minmax_raw(M, row, col, value, mat, False)
+
+
+def _spmm_max_fwd(M, row, col, value, mat):
+    out, arg = _spmm_minmax_raw(M, row, col, value, mat, False)
+    return (out, arg), (row, col, value, mat, arg)
+
+
+def _spmm_max_bwd(M, res, grads):
+    row, col, value, mat, arg = res
+    grad, _ = grads
+    grad_value, grad_mat = _minmax_bwd_common(row, col, value, mat, arg, grad)
+    return (_int_zero(row), _int_zero(col), grad_value, grad_mat)
+
+
+_spmm_max.defvjp(_spmm_max_fwd, _spmm_max_bwd)
+
+
+# ----------------------------------------------------------------------
+# Public SpMM API over SparseTensor (reference matmul.py:9-91)
+# ----------------------------------------------------------------------
+
+def spmm_sum(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
+    row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
+    M = src.sparse_size(0)
+    if other.ndim == 2:
+        return _spmm_sum(M, row, col, value, other)
+    return jax.vmap(lambda m: _spmm_sum(M, row, col, value, m))(other)
+
+
+def spmm_add(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
+    return spmm_sum(src, other)
+
+
+def spmm_mean(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
+    row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
+    M = src.sparse_size(0)
+    if other.ndim == 2:
+        return _spmm_mean(M, row, col, value, other)
+    return jax.vmap(lambda m: _spmm_mean(M, row, col, value, m))(other)
+
+
+def spmm_min(src: SparseTensor, other: jnp.ndarray):
+    row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
+    M = src.sparse_size(0)
+    if other.ndim == 2:
+        return _spmm_min(M, row, col, value, other)
+    return jax.vmap(lambda m: _spmm_min(M, row, col, value, m))(other)
+
+
+def spmm_max(src: SparseTensor, other: jnp.ndarray):
+    row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
+    M = src.sparse_size(0)
+    if other.ndim == 2:
+        return _spmm_max(M, row, col, value, other)
+    return jax.vmap(lambda m: _spmm_max(M, row, col, value, m))(other)
+
+
+def spmm(src: SparseTensor, other: jnp.ndarray, reduce: str = "sum"):
+    """Reduce-mode dispatcher (reference ``matmul.py:79-91``)."""
+    if reduce in ("sum", "add"):
+        return spmm_sum(src, other)
+    elif reduce == "mean":
+        return spmm_mean(src, other)
+    elif reduce == "min":
+        return spmm_min(src, other)[0]
+    elif reduce == "max":
+        return spmm_max(src, other)[0]
+    raise ValueError(f"Unknown reduce mode: {reduce!r}")
+
+
+# ----------------------------------------------------------------------
+# SpSpMM (reference matmul.py:94-126). Unlike the reference, which
+# delegates to torch.sparse.mm, we own the SpGEMM: an eager symbolic
+# (structure) pass + a jit-able, differentiable numeric pass.
+# ----------------------------------------------------------------------
+
+def _spspmm_structure(A: SparseTensor, B: SparseTensor):
+    """Expansion-pass structure: for each A-nnz (i, k), enumerate B's row k.
+
+    Returns (a_pos, b_pos, out_row_raw, out_col_raw) — the gather indices of
+    the expanded product terms — plus the coalesced output structure
+    (seg ids mapping each expanded term to its output nnz).  Runs eagerly on
+    concrete index arrays (data-dependent output size).
+    """
+    rowA, colA = np.asarray(A.storage.row()), np.asarray(A.storage.col())
+    rowptrB = np.asarray(B.storage.rowptr())
+    colB = np.asarray(B.storage.col())
+
+    deg = rowptrB[colA + 1] - rowptrB[colA]  # expansions per A-nnz
+    total = int(deg.sum())
+    # For each product term t, the source A-nnz index.
+    a_pos = np.repeat(np.arange(colA.shape[0]), deg)
+    # Offset of t within its A-nnz's expansion run.
+    run_start = np.concatenate([[0], np.cumsum(deg)[:-1]])
+    offset = np.arange(total) - run_start[a_pos]
+    b_pos = rowptrB[colA[a_pos]] + offset
+
+    out_row = rowA[a_pos]
+    out_col = colB[b_pos]
+
+    # Coalesce structure: sort by (row, col), dedupe.
+    order = np.lexsort((out_col, out_row))
+    out_row, out_col = out_row[order], out_col[order]
+    a_pos, b_pos = a_pos[order], b_pos[order]
+    if total > 0:
+        new = np.concatenate(
+            [[True], (out_row[1:] != out_row[:-1]) | (out_col[1:] != out_col[:-1])]
+        )
+    else:
+        new = np.zeros((0,), dtype=bool)
+    seg = np.cumsum(new) - 1
+    n_out = int(seg[-1]) + 1 if total > 0 else 0
+    rowC = out_row[new]
+    colC = out_col[new]
+    return (
+        jnp.asarray(a_pos, jnp.int32), jnp.asarray(b_pos, jnp.int32),
+        jnp.asarray(seg, jnp.int32), n_out,
+        jnp.asarray(rowC, jnp.int32), jnp.asarray(colC, jnp.int32),
+    )
+
+
+def spspmm_sum(A: SparseTensor, B: SparseTensor) -> SparseTensor:
+    assert A.sparse_size(1) == B.sparse_size(0)
+    M, P = A.sparse_size(0), B.sparse_size(1)
+    a_pos, b_pos, seg, n_out, rowC, colC = _spspmm_structure(A, B)
+
+    valueA, valueB = A.storage.value(), B.storage.value()
+    valueC: Optional[jnp.ndarray] = None
+    if valueA is not None or valueB is not None:
+        if valueA is None:
+            valueA = jnp.ones((A.nnz(),), dtype=valueB.dtype)
+        if valueB is None:
+            valueB = jnp.ones((B.nnz(),), dtype=valueA.dtype)
+        terms = valueA[a_pos] * valueB[b_pos]
+        valueC = segment_sum(terms, seg, n_out, indices_are_sorted=True)
+
+    return SparseTensor(
+        row=rowC, col=colC, value=valueC, sparse_sizes=(M, P),
+        is_sorted=True, trust_data=True,
+    )
+
+
+def spspmm(A: SparseTensor, B: SparseTensor, reduce: str = "sum") -> SparseTensor:
+    if reduce in ("sum", "add"):
+        return spspmm_sum(A, B)
+    raise ValueError(
+        f"`spspmm` reduce mode {reduce!r} not supported (reference "
+        "matmul.py:118-126 supports only 'sum')."
+    )
+
+
+def matmul(src: SparseTensor, other, reduce: str = "sum"):
+    """Polymorphic matmul (reference ``matmul.py:129-163``)."""
+    if isinstance(other, SparseTensor):
+        return spspmm(src, other, reduce)
+    return spmm(src, jnp.asarray(other), reduce)
+
+
+# Attach methods (reference matmul.py:166-171).
+SparseTensor.spmm = lambda self, other, reduce="sum": spmm(self, other, reduce)
+SparseTensor.spspmm = lambda self, other, reduce="sum": spspmm(self, other, reduce)
+SparseTensor.matmul = lambda self, other, reduce="sum": matmul(self, other, reduce)
+SparseTensor.__matmul__ = lambda self, other: matmul(self, other, "sum")

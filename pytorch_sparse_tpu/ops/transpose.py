@@ -1,0 +1,64 @@
+"""Transpose via the cached csr2csc permutation
+(reference ``torch_sparse/transpose.py``).
+
+``t()`` is O(nnz) gather: the CSC view of A *is* the CSR view of A^T, so the
+new storage reuses ``colptr``/``colcount`` as ``rowptr``/``rowcount`` and
+swaps the permutation caches (reference ``transpose.py:18-27``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..storage import SparseStorage
+from ..tensor import SparseTensor
+
+
+def t(src: SparseTensor) -> SparseTensor:
+    csr2csc = src.storage.csr2csc()
+    row, col, value = src.coo()
+    if value is not None:
+        value = value[csr2csc]
+    sparse_sizes = src.storage.sparse_sizes()
+
+    storage = SparseStorage(
+        row=col[csr2csc],
+        rowptr=src.storage._colptr,
+        col=row[csr2csc],
+        value=value,
+        sparse_sizes=(sparse_sizes[1], sparse_sizes[0]),
+        rowcount=src.storage._colcount,
+        colptr=src.storage._rowptr,
+        colcount=src.storage._rowcount,
+        csr2csc=src.storage._csc2csr,
+        csc2csr=csr2csc,
+        is_sorted=True,
+        trust_data=True,
+    )
+    return src.from_storage(storage)
+
+
+SparseTensor.t = lambda self: t(self)
+
+
+def transpose(
+    index: jnp.ndarray,
+    value: Optional[jnp.ndarray],
+    m: int,
+    n: int,
+    coalesced: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Legacy tuple-API transpose (reference ``transpose.py:39-62``)."""
+    row, col = index[1], index[0]
+
+    if coalesced:
+        storage = SparseStorage(
+            row=row, col=col, value=value, sparse_sizes=(n, m),
+            is_sorted=False,
+        )
+        storage = storage.coalesce()
+        row, col, value = storage.row(), storage.col(), storage.value()
+
+    return jnp.stack([row, col], axis=0), value

@@ -1,0 +1,552 @@
+"""Core sparse storage: COO/CSR/CSC with explicit, observable format caching.
+
+TPU-native re-design of the reference's ``SparseStorage``
+(``torch_sparse/storage.py:21-767``).  Same information model — mandatory
+``col``, one of ``row``/``rowptr``, optional ``value``, and five derived
+cache arrays (``rowcount``, ``colptr``, ``colcount``, ``csr2csc``,
+``csc2csr``) — but arranged for JAX:
+
+* The object is a **pytree**: array fields are leaves, ``sparse_sizes`` is
+  static aux data, so a ``SparseStorage`` flows through ``jax.jit`` /
+  ``jax.grad`` / ``shard_map`` directly.  Cache state is part of the pytree
+  structure (a filled cache is a leaf, an unfilled one is ``None``), which
+  makes the reference's observable cache discipline (``fill_cache_`` /
+  ``clear_cache_`` tests, ``test/test_storage.py:46-92``) a *structural*
+  property here.
+* Lazy memoization is kept (``row()``/``rowptr()``/``colptr()``/... compute
+  on first call and cache on the instance, mirroring
+  ``storage.py:186-429``), and is trace-safe: instances are re-created per
+  trace by pytree unflattening, so cached tracers never leak across traces.
+* nnz and sparse_sizes are static Python ints — every derived array has a
+  static shape, so all format conversions are jit-compilable.  Operations
+  whose *output* nnz is data-dependent (``coalesce`` with duplicates) run
+  eagerly (outside ``jit``), exactly like the reference runs them at graph
+  construction time.
+
+Index dtype is int32 (TPU-native); int64 inputs are downcast.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .segment import segment_reduce, segment_count
+from .utils.convert import INDEX_DTYPE, ind2ptr, ptr2ind
+from .utils.index_sort import lexsort_rows
+
+layouts = ["coo", "csr", "csc"]
+
+
+def _is_concrete(x) -> bool:
+    return not isinstance(x, jax.core.Tracer)
+
+
+def _as_index(x) -> jnp.ndarray:
+    x = jnp.asarray(x)
+    if x.dtype != INDEX_DTYPE:
+        x = x.astype(INDEX_DTYPE)
+    return x
+
+
+def get_layout(layout: Optional[str] = None) -> str:
+    """Reference ``torch_sparse/storage.py:12-18``: default layout is COO
+    with a warning when unspecified."""
+    if layout is None:
+        layout = "coo"
+        warnings.warn(
+            "`layout` argument unset, using default layout `coo`. "
+            "This may lead to unexpected behavior."
+        )
+    assert layout in layouts
+    return layout
+
+
+class SparseStorage:
+    """Single source of truth for a sparse matrix layout.
+
+    Mirrors the field set of the reference storage (``storage.py:23-32``).
+    """
+
+    _row: Optional[jnp.ndarray]
+    _rowptr: Optional[jnp.ndarray]
+    _col: jnp.ndarray
+    _value: Optional[jnp.ndarray]
+    _sparse_sizes: Tuple[int, int]
+    _rowcount: Optional[jnp.ndarray]
+    _colptr: Optional[jnp.ndarray]
+    _colcount: Optional[jnp.ndarray]
+    _csr2csc: Optional[jnp.ndarray]
+    _csc2csr: Optional[jnp.ndarray]
+
+    def __init__(
+        self,
+        row: Optional[jnp.ndarray] = None,
+        rowptr: Optional[jnp.ndarray] = None,
+        col: Optional[jnp.ndarray] = None,
+        value: Optional[jnp.ndarray] = None,
+        sparse_sizes: Optional[Tuple[Optional[int], Optional[int]]] = None,
+        rowcount: Optional[jnp.ndarray] = None,
+        colptr: Optional[jnp.ndarray] = None,
+        colcount: Optional[jnp.ndarray] = None,
+        csr2csc: Optional[jnp.ndarray] = None,
+        csc2csr: Optional[jnp.ndarray] = None,
+        is_sorted: bool = False,
+        trust_data: bool = False,
+    ):
+        assert row is not None or rowptr is not None
+        assert col is not None
+        col = _as_index(col)
+        assert col.ndim == 1
+
+        if row is not None:
+            row = _as_index(row)
+            assert row.ndim == 1
+            assert row.shape[0] == col.shape[0]
+        if rowptr is not None:
+            rowptr = _as_index(rowptr)
+            assert rowptr.ndim == 1
+
+        # --- Shape inference (reference storage.py:56-136). Requires
+        # concrete data; under tracing, sparse_sizes must be given.
+        M: Optional[int] = None
+        N: Optional[int] = None
+        if sparse_sizes is not None:
+            M, N = sparse_sizes[0], sparse_sizes[1]
+        if M is None:
+            if rowptr is not None:
+                M = int(rowptr.shape[0]) - 1
+            elif _is_concrete(row):
+                M = int(row.max()) + 1 if row.shape[0] > 0 else 0
+            else:
+                raise ValueError(
+                    "sparse_sizes[0] must be given when `row` is traced"
+                )
+        if N is None:
+            if _is_concrete(col):
+                N = int(col.max()) + 1 if col.shape[0] > 0 else 0
+            else:
+                raise ValueError(
+                    "sparse_sizes[1] must be given when `col` is traced"
+                )
+        M, N = int(M), int(N)
+
+        if not trust_data and _is_concrete(col) and col.shape[0] > 0:
+            assert int(col.min()) >= 0 and int(col.max()) < N, (
+                "`col` contains indices outside [0, N)"
+            )
+            if row is not None and _is_concrete(row):
+                assert int(row.min()) >= 0 and int(row.max()) < M
+            if rowptr is not None and _is_concrete(rowptr):
+                assert int(rowptr[0]) == 0 and int(rowptr[-1]) == col.shape[0]
+
+        if value is not None:
+            value = jnp.asarray(value)
+            assert value.shape[0] == col.shape[0]
+
+        if rowcount is not None:
+            rowcount = _as_index(rowcount)
+            assert rowcount.shape[0] == M
+        if colptr is not None:
+            colptr = _as_index(colptr)
+            assert colptr.shape[0] == N + 1
+        if colcount is not None:
+            colcount = _as_index(colcount)
+            assert colcount.shape[0] == N
+        if csr2csc is not None:
+            csr2csc = _as_index(csr2csc)
+            assert csr2csc.shape[0] == col.shape[0]
+        if csc2csr is not None:
+            csc2csr = _as_index(csc2csr)
+            assert csc2csr.shape[0] == col.shape[0]
+
+        # --- Sortedness probe + canonical (row, col) sort
+        # (reference storage.py:149-163).
+        if not is_sorted and rowptr is None:
+            if not _is_concrete(row) or not _is_concrete(col):
+                raise ValueError(
+                    "Cannot probe sortedness of traced indices; pass "
+                    "`is_sorted=True` (or construct eagerly)."
+                )
+            if row.shape[0] > 1:
+                keys_sorted = bool(
+                    jnp.all(
+                        (row[1:] > row[:-1])
+                        | ((row[1:] == row[:-1]) & (col[1:] >= col[:-1]))
+                    )
+                )
+            else:
+                keys_sorted = True
+            if not keys_sorted:
+                perm = lexsort_rows(row, col)
+                row = row[perm]
+                col = col[perm]
+                if value is not None:
+                    value = value[perm]
+                csr2csc = csc2csr = None
+
+        self._row = row
+        self._rowptr = rowptr
+        self._col = col
+        self._value = value
+        self._sparse_sizes = (M, N)
+        self._rowcount = rowcount
+        self._colptr = colptr
+        self._colcount = colcount
+        self._csr2csc = csr2csc
+        self._csc2csr = csc2csr
+
+    @classmethod
+    def empty(cls) -> "SparseStorage":
+        row = jnp.zeros((0,), dtype=INDEX_DTYPE)
+        col = jnp.zeros((0,), dtype=INDEX_DTYPE)
+        return cls(row=row, col=col, sparse_sizes=(0, 0), is_sorted=True,
+                   trust_data=True)
+
+    # ------------------------------------------------------------------
+    # Format views (lazy, memoized — reference storage.py:186-213).
+    # ------------------------------------------------------------------
+    def has_row(self) -> bool:
+        return self._row is not None
+
+    def row(self) -> jnp.ndarray:
+        if self._row is None:
+            self._row = ptr2ind(self._rowptr, self._col.shape[0])
+        return self._row
+
+    def has_rowptr(self) -> bool:
+        return self._rowptr is not None
+
+    def rowptr(self) -> jnp.ndarray:
+        if self._rowptr is None:
+            self._rowptr = ind2ptr(self._row, self._sparse_sizes[0])
+        return self._rowptr
+
+    def col(self) -> jnp.ndarray:
+        return self._col
+
+    def has_value(self) -> bool:
+        return self._value is not None
+
+    def value(self) -> Optional[jnp.ndarray]:
+        return self._value
+
+    def set_value(
+        self, value: Optional[jnp.ndarray], layout: Optional[str] = None
+    ) -> "SparseStorage":
+        """Functional value replacement with layout reinterpretation
+        (reference ``storage.py:224-264``): a ``'csc'``-ordered value is
+        permuted back into CSR order via ``csc2csr``."""
+        if value is not None:
+            value = jnp.asarray(value)
+            if get_layout(layout) == "csc":
+                value = value[self.csc2csr()]
+            assert value.shape[0] == self._col.shape[0]
+        return SparseStorage(
+            row=self._row, rowptr=self._rowptr, col=self._col, value=value,
+            sparse_sizes=self._sparse_sizes, rowcount=self._rowcount,
+            colptr=self._colptr, colcount=self._colcount,
+            csr2csc=self._csr2csc, csc2csr=self._csc2csr,
+            is_sorted=True, trust_data=True,
+        )
+
+    # The reference distinguishes in-place `set_value_`; arrays are
+    # immutable in JAX so both spellings return a new storage.
+    set_value_ = set_value
+
+    # ------------------------------------------------------------------
+    # Sizes
+    # ------------------------------------------------------------------
+    def sparse_sizes(self) -> Tuple[int, int]:
+        return self._sparse_sizes
+
+    def sparse_size(self, dim: int) -> int:
+        return self._sparse_sizes[dim]
+
+    def nnz(self) -> int:
+        return int(self._col.shape[0])
+
+    def sparse_resize(self, sparse_sizes: Tuple[int, int]) -> "SparseStorage":
+        """Grow/shrink the logical matrix shape, patching caches where cheap
+        and dropping them otherwise (reference ``storage.py:272-315``)."""
+        old_M, old_N = self._sparse_sizes
+        M, N = int(sparse_sizes[0]), int(sparse_sizes[1])
+
+        rowptr, rowcount = self._rowptr, self._rowcount
+        if M != old_M:
+            if rowptr is not None:
+                if M > old_M:
+                    pad = jnp.full((M - old_M,), self.nnz(), dtype=INDEX_DTYPE)
+                    rowptr = jnp.concatenate([rowptr, pad])
+                else:
+                    rowptr = rowptr[: M + 1]
+            if rowcount is not None:
+                if M > old_M:
+                    rowcount = jnp.concatenate(
+                        [rowcount, jnp.zeros((M - old_M,), dtype=INDEX_DTYPE)]
+                    )
+                else:
+                    rowcount = rowcount[:M]
+
+        colptr, colcount = self._colptr, self._colcount
+        if N != old_N:
+            if colptr is not None:
+                if N > old_N:
+                    pad = jnp.full((N - old_N,), self.nnz(), dtype=INDEX_DTYPE)
+                    colptr = jnp.concatenate([colptr, pad])
+                else:
+                    colptr = None
+            if colcount is not None:
+                if N > old_N:
+                    colcount = jnp.concatenate(
+                        [colcount, jnp.zeros((N - old_N,), dtype=INDEX_DTYPE)]
+                    )
+                else:
+                    colcount = None
+
+        return SparseStorage(
+            row=self._row, rowptr=rowptr, col=self._col, value=self._value,
+            sparse_sizes=(M, N), rowcount=rowcount, colptr=colptr,
+            colcount=colcount, csr2csc=self._csr2csc, csc2csr=self._csc2csr,
+            is_sorted=True, trust_data=True,
+        )
+
+    def sparse_reshape(self, num_rows: int, num_cols: int) -> "SparseStorage":
+        """Reinterpret flattened nnz positions in a new (M, N) grid
+        (reference ``storage.py:317-351``)."""
+        assert num_rows > 0 or num_rows == -1
+        assert num_cols > 0 or num_cols == -1
+        assert num_rows > 0 or num_cols > 0
+
+        total = self.sparse_size(0) * self.sparse_size(1)
+        if num_rows == -1:
+            num_rows = total // num_cols
+        if num_cols == -1:
+            num_cols = total // num_rows
+        assert num_rows * num_cols == total
+
+        idx = (
+            self.row().astype(jnp.int64) * self.sparse_size(1)
+            + self._col.astype(jnp.int64)
+        )
+        row = (idx // num_cols).astype(INDEX_DTYPE)
+        col = (idx % num_cols).astype(INDEX_DTYPE)
+        return SparseStorage(
+            row=row, rowptr=None, col=col, value=self._value,
+            sparse_sizes=(int(num_rows), int(num_cols)),
+            is_sorted=True, trust_data=True,
+        )
+
+    # ------------------------------------------------------------------
+    # Derived caches (reference storage.py:355-429)
+    # ------------------------------------------------------------------
+    def has_rowcount(self) -> bool:
+        return self._rowcount is not None
+
+    def rowcount(self) -> jnp.ndarray:
+        if self._rowcount is None:
+            rowptr = self.rowptr()
+            self._rowcount = rowptr[1:] - rowptr[:-1]
+        return self._rowcount
+
+    def has_colptr(self) -> bool:
+        return self._colptr is not None
+
+    def colptr(self) -> jnp.ndarray:
+        if self._colptr is None:
+            if self._csr2csc is not None:
+                self._colptr = ind2ptr(
+                    self._col[self._csr2csc], self._sparse_sizes[1]
+                )
+            else:
+                # counts -> cumulative sum (no sort needed).
+                counts = segment_count(
+                    self._col, self._sparse_sizes[1]
+                )
+                self._colptr = jnp.concatenate(
+                    [jnp.zeros((1,), INDEX_DTYPE),
+                     jnp.cumsum(counts).astype(INDEX_DTYPE)]
+                )
+        return self._colptr
+
+    def has_colcount(self) -> bool:
+        return self._colcount is not None
+
+    def colcount(self) -> jnp.ndarray:
+        if self._colcount is None:
+            if self._colptr is not None:
+                self._colcount = self._colptr[1:] - self._colptr[:-1]
+            else:
+                self._colcount = segment_count(
+                    self._col, self._sparse_sizes[1]
+                ).astype(INDEX_DTYPE)
+        return self._colcount
+
+    def has_csr2csc(self) -> bool:
+        return self._csr2csc is not None
+
+    def csr2csc(self) -> jnp.ndarray:
+        """Permutation taking CSR-ordered nnz to CSC order: stable sort by
+        (col, row) — reference ``storage.py:407-416``."""
+        if self._csr2csc is None:
+            self._csr2csc = lexsort_rows(self._col, self.row()).astype(
+                INDEX_DTYPE
+            )
+        return self._csr2csc
+
+    def has_csc2csr(self) -> bool:
+        return self._csc2csr is not None
+
+    def csc2csr(self) -> jnp.ndarray:
+        if self._csc2csr is None:
+            csr2csc = self.csr2csc()
+            self._csc2csr = (
+                jnp.zeros_like(csr2csc)
+                .at[csr2csc]
+                .set(jnp.arange(csr2csc.shape[0], dtype=INDEX_DTYPE))
+            )
+        return self._csc2csr
+
+    # ------------------------------------------------------------------
+    # Coalescing (reference storage.py:431-466). Output nnz is
+    # data-dependent -> eager-only when duplicates exist.
+    # ------------------------------------------------------------------
+    def is_coalesced(self) -> bool:
+        row, col = self.row(), self._col
+        if row.shape[0] < 2:
+            return True
+        same = (row[1:] == row[:-1]) & (col[1:] == col[:-1])
+        return not bool(jnp.any(same))
+
+    def coalesce(self, reduce: str = "add") -> "SparseStorage":
+        row, col, value = self.row(), self._col, self._value
+        E = row.shape[0]
+        if E == 0:
+            return self
+        if not _is_concrete(row) or not _is_concrete(col):
+            raise ValueError(
+                "coalesce() has data-dependent output size and must run "
+                "eagerly (outside jit)."
+            )
+        keep = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (row[1:] != row[:-1]) | (col[1:] != col[:-1])]
+        )
+        if bool(jnp.all(keep)):
+            return self
+        # Segment id of each nnz in the deduplicated output.
+        seg = jnp.cumsum(keep.astype(INDEX_DTYPE)) - 1
+        n_out = int(seg[-1]) + 1
+        new_row = row[keep]
+        new_col = col[keep]
+        new_value = None
+        if value is not None:
+            new_value = segment_reduce(
+                value, seg, n_out, reduce=reduce, indices_are_sorted=True
+            )
+        return SparseStorage(
+            row=new_row, rowptr=None, col=new_col, value=new_value,
+            sparse_sizes=self._sparse_sizes, is_sorted=True, trust_data=True,
+        )
+
+    # ------------------------------------------------------------------
+    # Cache control (reference storage.py:468-501)
+    # ------------------------------------------------------------------
+    def fill_cache_(self) -> "SparseStorage":
+        self.row()
+        self.rowptr()
+        self.rowcount()
+        self.colptr()
+        self.colcount()
+        self.csr2csc()
+        self.csc2csr()
+        return self
+
+    def clear_cache_(self) -> "SparseStorage":
+        self._rowcount = None
+        self._colptr = None
+        self._colcount = None
+        self._csr2csc = None
+        self._csc2csr = None
+        return self
+
+    def cached_keys(self) -> List[str]:
+        keys = []
+        for key in ["rowcount", "colptr", "colcount", "csr2csc", "csc2csr"]:
+            if getattr(self, f"_{key}") is not None:
+                keys.append(key)
+        return keys
+
+    def num_cached_keys(self) -> int:
+        return len(self.cached_keys())
+
+    # ------------------------------------------------------------------
+    # Copy / device / dtype (reference storage.py:503-710)
+    # ------------------------------------------------------------------
+    def copy(self) -> "SparseStorage":
+        return SparseStorage(
+            row=self._row, rowptr=self._rowptr, col=self._col,
+            value=self._value, sparse_sizes=self._sparse_sizes,
+            rowcount=self._rowcount, colptr=self._colptr,
+            colcount=self._colcount, csr2csc=self._csr2csc,
+            csc2csr=self._csc2csr, is_sorted=True, trust_data=True,
+        )
+
+    clone = copy  # JAX arrays are immutable; copy == clone.
+
+    def apply_value(self, fn) -> "SparseStorage":
+        value = self._value
+        if value is not None:
+            value = fn(value)
+        return self.set_value(value, layout="coo")
+
+    def apply(self, fn) -> "SparseStorage":
+        """Apply ``fn`` to every array field (device moves etc.),
+        reference ``storage.py:531-546``."""
+        def opt(x):
+            return None if x is None else fn(x)
+
+        return SparseStorage(
+            row=opt(self._row), rowptr=opt(self._rowptr), col=fn(self._col),
+            value=opt(self._value), sparse_sizes=self._sparse_sizes,
+            rowcount=opt(self._rowcount), colptr=opt(self._colptr),
+            colcount=opt(self._colcount), csr2csc=opt(self._csr2csc),
+            csc2csr=opt(self._csc2csr), is_sorted=True, trust_data=True,
+        )
+
+    def to_device(self, device) -> "SparseStorage":
+        return self.apply(lambda x: jax.device_put(x, device))
+
+    def astype_value(self, dtype) -> "SparseStorage":
+        return self.apply_value(lambda v: v.astype(dtype))
+
+    def __repr__(self) -> str:
+        M, N = self._sparse_sizes
+        return (
+            f"{self.__class__.__name__}(sparse_sizes=({M}, {N}), "
+            f"nnz={self.nnz()}, cached={self.cached_keys()})"
+        )
+
+
+def _storage_flatten(s: SparseStorage):
+    children = (
+        s._row, s._rowptr, s._col, s._value, s._rowcount, s._colptr,
+        s._colcount, s._csr2csc, s._csc2csr,
+    )
+    return children, s._sparse_sizes
+
+
+def _storage_unflatten(aux, children) -> SparseStorage:
+    obj = object.__new__(SparseStorage)
+    (obj._row, obj._rowptr, obj._col, obj._value, obj._rowcount, obj._colptr,
+     obj._colcount, obj._csr2csc, obj._csc2csr) = children
+    obj._sparse_sizes = aux
+    return obj
+
+
+jax.tree_util.register_pytree_node(
+    SparseStorage, _storage_flatten, _storage_unflatten
+)

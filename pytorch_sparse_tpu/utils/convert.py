@@ -1,0 +1,40 @@
+"""Index-format conversion primitives.
+
+TPU-native equivalents of the reference's native ``ind2ptr`` / ``ptr2ind`` ops
+(reference: ``csrc/convert.cpp:46-48``, ``csrc/cpu/convert_cpu.cpp:22-57``,
+``csrc/cuda/convert_cuda.cu:9-67``).  On TPU these are pure XLA: ``ind2ptr`` is
+a ``searchsorted`` over the sorted row index array and ``ptr2ind`` is its
+inverse (the reference's own benchmark notes the bucketize formulation,
+``benchmark/ptr2ind.py:57-65``) — no Pallas kernel needed, XLA lowers both to
+vectorized comparisons.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+INDEX_DTYPE = jnp.int32
+
+
+def ind2ptr(ind: jnp.ndarray, M: int) -> jnp.ndarray:
+    """Sorted COO row indices -> CSR row pointer of length ``M + 1``.
+
+    ``ptr[i]`` is the first position ``p`` with ``ind[p] >= i`` (matching the
+    reference CPU kernel ``csrc/cpu/convert_cpu.cpp:22-35``: empty rows repeat
+    the previous pointer, leading gaps are 0, trailing gaps are ``len(ind)``).
+    """
+    ind = jnp.asarray(ind)
+    targets = jnp.arange(M + 1, dtype=ind.dtype)
+    return jnp.searchsorted(ind, targets, side="left").astype(INDEX_DTYPE)
+
+
+def ptr2ind(ptr: jnp.ndarray, E: int) -> jnp.ndarray:
+    """CSR row pointer -> COO row indices of length ``E`` (inverse of
+    :func:`ind2ptr`; reference ``csrc/cpu/convert_cpu.cpp:37-57``).
+
+    Position ``e`` belongs to row ``r`` iff ``ptr[r] <= e < ptr[r + 1]``,
+    i.e. ``r = searchsorted(ptr, e, side='right') - 1``.
+    """
+    ptr = jnp.asarray(ptr)
+    positions = jnp.arange(E, dtype=ptr.dtype)
+    return (jnp.searchsorted(ptr, positions, side="right") - 1).astype(INDEX_DTYPE)
