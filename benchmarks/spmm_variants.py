@@ -1,0 +1,155 @@
+"""Benchmark alternative SpMM formulations on the current device.
+
+Mirrors the reference's benchmark protocol (``benchmark/main.py:61-91``:
+synchronized timing loops over feature widths, correctness pre-pass) but on
+synthetic power-law graphs at ogbn-arxiv scale, since the SuiteSparse
+downloads are unavailable offline.
+
+Variants:
+  scatter   -- h = mat[col] * value; out = zeros.at[row].add(h)
+  segment   -- jax.ops.segment_sum(h, row) with sorted indices
+  onehot    -- edge-chunked one-hot matmul partial sums + small scatter
+  csr_dot   -- cusparse-style row-major: take + segment via cumsum diff
+"""
+
+import argparse
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_graph(M, E, seed=0, power=1.1):
+    """Synthetic graph with a power-law-ish degree distribution, sorted COO."""
+    rng = np.random.RandomState(seed)
+    # heavy-tailed row distribution
+    row = rng.zipf(power + 1.0, size=E) % M if power else rng.randint(0, M, E)
+    row = np.sort(rng.permutation(row).astype(np.int32))
+    col = rng.randint(0, M, E).astype(np.int32)
+    order = np.lexsort((col, row))
+    row, col = row[order], col[order]
+    value = rng.randn(E).astype(np.float32)
+    return jnp.asarray(row), jnp.asarray(col), jnp.asarray(value)
+
+
+@partial(jax.jit, static_argnames=("M",))
+def spmm_scatter(row, col, value, mat, M):
+    h = jnp.take(mat, col, axis=0) * value[:, None]
+    return jnp.zeros((M, mat.shape[1]), mat.dtype).at[row].add(h)
+
+
+@partial(jax.jit, static_argnames=("M",))
+def spmm_segment(row, col, value, mat, M):
+    h = jnp.take(mat, col, axis=0) * value[:, None]
+    return jax.ops.segment_sum(h, row, M, indices_are_sorted=True)
+
+
+@partial(jax.jit, static_argnames=("M", "T"))
+def spmm_onehot(row, col, value, mat, M, T=512):
+    """Edge chunks of T; per-chunk one-hot matmul over local row offsets,
+    then scatter the (nchunks, T)-bounded partials."""
+    E = row.shape[0]
+    K = mat.shape[1]
+    h = jnp.take(mat, col, axis=0) * value[:, None]          # (E, K)
+    nchunks = E // T
+    hc = h[: nchunks * T].reshape(nchunks, T, K)
+    rc = row[: nchunks * T].reshape(nchunks, T)
+    base = rc[:, :1]
+    local = rc - base                                         # (C, T) in [0, T)
+    onehot = (
+        local[:, None, :] == jnp.arange(T, dtype=row.dtype)[None, :, None]
+    ).astype(jnp.bfloat16)                                    # (C, T, T)
+    partial_sums = jax.lax.dot_general(
+        onehot, hc.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                         # (C, T, K)
+    out_rows = base + jnp.arange(T, dtype=row.dtype)[None, :]
+    out_rows = jnp.minimum(out_rows, M - 1)
+    out = jnp.zeros((M, K), mat.dtype).at[out_rows.reshape(-1)].add(
+        partial_sums.reshape(-1, K)
+    )
+    # tail
+    if E % T:
+        ht = h[nchunks * T:]
+        rt = row[nchunks * T:]
+        out = out.at[rt].add(ht)
+    return out
+
+
+@partial(jax.jit, static_argnames=("M",))
+def spmm_cumsum(row, col, value, mat, M):
+    h = jnp.take(mat, col, axis=0) * value[:, None]
+    csum = jnp.cumsum(h, axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, h.shape[1]), h.dtype), csum])
+    rowptr = jnp.searchsorted(row, jnp.arange(M + 1, dtype=row.dtype))
+    return csum[rowptr[1:]] - csum[rowptr[:-1]]
+
+
+VARIANTS = {
+    "scatter": spmm_scatter,
+    "segment": spmm_segment,
+    "onehot": spmm_onehot,
+    "cumsum": spmm_cumsum,
+}
+
+
+def bench(fn, args, iters=20):
+    from timing import device_time
+
+    row, col, value, mat, M = args
+    del iters
+    if mat.shape[0] != M:
+        raise ValueError("timing chain needs square operand")
+    return device_time(lambda m: fn(row, col, value, m, M), mat)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--M", type=int, default=169_343)      # ogbn-arxiv nodes
+    p.add_argument("--E", type=int, default=1_166_243)    # ogbn-arxiv edges
+    p.add_argument("--K", type=int, nargs="+", default=[32, 128, 512])
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--variants", nargs="+", default=list(VARIANTS))
+    args = p.parse_args()
+
+    row, col, value = make_graph(args.M, args.E)
+    dev = jax.devices()[0]
+    print(f"# device={dev}, M={args.M}, E={args.E}")
+
+    for K in args.K:
+        mat = jnp.asarray(
+            np.random.RandomState(1).randn(args.M, K), jnp.float32
+        )
+        ref = None
+        for name in args.variants:
+            fn = VARIANTS[name]
+            try:
+                out = fn(row, col, value, mat, args.M)
+                jax.block_until_ready(out)
+            except Exception as e:
+                print(f"K={K:4d} {name:8s} FAILED: {str(e)[:80]}")
+                continue
+            if ref is None:
+                ref = out
+                ok = True
+            else:
+                ok = bool(
+                    jnp.allclose(out, ref, atol=1e-2 * K)
+                )
+            dt = bench(fn, (row, col, value, mat, args.M), args.iters)
+            nnzs = args.E / dt
+            # bandwidth model: col+value+row reads, mat gather (E*K*4 no
+            # reuse), out write (M*K*4)
+            bytes_moved = args.E * 12 + args.E * K * 4 + args.M * K * 4
+            gbs = bytes_moved / dt / 1e9
+            print(
+                f"K={K:4d} {name:8s} {dt * 1e3:8.3f} ms  "
+                f"{nnzs / 1e9:6.2f} Gnnz/s  ~{gbs:6.1f} GB/s  ok={ok}"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,51 @@
+"""Device timing that survives the axon tunnel.
+
+``block_until_ready`` does not actually block through the remote-TPU tunnel
+(measured: a "0.76 ms" 8k bf16 matmul => 1450 TFLOP/s on a 197-TFLOP/s
+chip), and a host roundtrip costs ~26 ms.  So: run the op ``n`` times inside
+a single jitted ``lax.fori_loop``, force one scalar fetch, and take the
+slope between two values of ``n`` — latency and constant overheads cancel.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def device_time(
+    step: Callable,
+    init_carry,
+    n_lo: int = 4,
+    n_hi: int = 24,
+    repeats: int = 3,
+) -> float:
+    """Seconds per invocation of ``step(carry) -> carry``.
+
+    ``step`` must be shape-preserving in its carry so it can be chained.
+    """
+
+    @partial(jax.jit, static_argnames=("n",))
+    def chained(carry, n):
+        carry = jax.lax.fori_loop(0, n, lambda i, c: step(c), carry)
+        return jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x).astype(jnp.float32), carry, 0.0
+        )
+
+    def run(n):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(chained(init_carry, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # warm up compiles for both sizes
+    float(chained(init_carry, n_lo))
+    float(chained(init_carry, n_hi))
+    t_lo, t_hi = run(n_lo), run(n_hi)
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)

@@ -384,8 +384,15 @@ class SparseTensor:
     def shape(self) -> Tuple[int, ...]:
         return self.size()
 
+    def sizes(self) -> List[int]:
+        return list(self.size())
+
     def dim(self) -> int:
         return len(self.size())
+
+    def device(self):
+        devs = self.storage.col().devices()
+        return next(iter(devs))
 
     def dtype(self):
         value = self.storage.value()
@@ -428,9 +435,11 @@ class SparseTensor:
         int -> select; slice -> narrow; int array -> index_select;
         bool array -> masked_select; Ellipsis passes through."""
         index = index if isinstance(index, tuple) else (index,)
-        # Expand Ellipsis.
-        if Ellipsis in index:
-            pos = index.index(Ellipsis)
+        # Expand Ellipsis (identity check: `in` would compare arrays).
+        if any(item is Ellipsis for item in index):
+            pos = next(
+                i for i, item in enumerate(index) if item is Ellipsis
+            )
             fill = (slice(None),) * (2 - (len(index) - 1))
             index = index[:pos] + fill + index[pos + 1:]
         out = self

@@ -9,12 +9,15 @@ import jax.numpy as jnp
 
 reductions = ["sum", "add", "mean", "min", "max"]
 
-dtypes: List[Any] = [
-    jnp.float16, jnp.float32, jnp.int32, jnp.int64, jnp.bfloat16
-]
+dtypes: List[Any] = [jnp.float32, jnp.int32, jnp.bfloat16]
 grad_dtypes: List[Any] = [jnp.float32, jnp.bfloat16]
 
 devices = [jax.devices()[0]]
+
+
+def tensor(x: Any, dtype) -> Any:
+    """List -> array helper (reference ``testing.py:21-22``)."""
+    return None if x is None else jnp.asarray(x, dtype=dtype)
 
 
 def tolerance(dtype) -> float:
@@ -22,4 +25,7 @@ def tolerance(dtype) -> float:
     1e-1 for half/bfloat16."""
     if dtype in (jnp.float16, jnp.bfloat16):
         return 1e-1
-    return 1e-6
+    # The dense oracle reassociates sums differently than the segment
+    # reduction; 1e-5 absorbs fp32 rounding differences (the reference's
+    # 1e-7 works there because its oracle is the same scatter order).
+    return 1e-5

@@ -1,0 +1,152 @@
+"""Port of reference ``test/test_storage.py`` (cache-state discipline)."""
+
+from itertools import product
+
+import jax.numpy as jnp
+import pytest
+
+from pytorch_sparse_tpu.storage import SparseStorage
+from pytorch_sparse_tpu.testing import dtypes, tensor
+from pytorch_sparse_tpu.utils import ind2ptr, ptr2ind
+
+
+def test_ind2ptr():
+    row = jnp.array([2, 2, 4, 5, 5, 6])
+    rowptr = ind2ptr(row, 8)
+    assert rowptr.tolist() == [0, 0, 0, 2, 2, 3, 5, 6, 6]
+
+    row = ptr2ind(rowptr, 6)
+    assert row.tolist() == [2, 2, 4, 5, 5, 6]
+
+    row = jnp.array([], dtype=jnp.int32)
+    rowptr = ind2ptr(row, 8)
+    assert rowptr.tolist() == [0] * 9
+
+    row = ptr2ind(rowptr, 0)
+    assert row.tolist() == []
+
+
+@pytest.mark.parametrize("dtype", dtypes)
+def test_storage(dtype):
+    row = jnp.array([0, 0, 1, 1])
+    col = jnp.array([0, 1, 0, 1])
+
+    storage = SparseStorage(row=row, col=col)
+    assert storage.row().tolist() == [0, 0, 1, 1]
+    assert storage.col().tolist() == [0, 1, 0, 1]
+    assert storage.value() is None
+    assert storage.sparse_sizes() == (2, 2)
+
+    row = jnp.array([0, 0, 1, 1])
+    col = jnp.array([1, 0, 1, 0])
+    value = tensor([2, 1, 4, 3], dtype)
+    storage = SparseStorage(row=row, col=col, value=value)
+    assert storage.row().tolist() == [0, 0, 1, 1]
+    assert storage.col().tolist() == [0, 1, 0, 1]
+    assert storage.value().tolist() == [1, 2, 3, 4]
+    assert storage.sparse_sizes() == (2, 2)
+
+
+def test_caching():
+    row = jnp.array([0, 0, 1, 1])
+    col = jnp.array([0, 1, 0, 1])
+    storage = SparseStorage(row=row, col=col)
+
+    assert storage._row.tolist() == row.tolist()
+    assert storage._col.tolist() == col.tolist()
+    assert storage._value is None
+
+    assert storage._rowcount is None
+    assert storage._rowptr is None
+    assert storage._colcount is None
+    assert storage._colptr is None
+    assert storage._csr2csc is None
+    assert storage.num_cached_keys() == 0
+
+    storage.fill_cache_()
+    assert storage._rowcount.tolist() == [2, 2]
+    assert storage._rowptr.tolist() == [0, 2, 4]
+    assert storage._colcount.tolist() == [2, 2]
+    assert storage._colptr.tolist() == [0, 2, 4]
+    assert storage._csr2csc.tolist() == [0, 2, 1, 3]
+    assert storage._csc2csr.tolist() == [0, 2, 1, 3]
+    assert storage.num_cached_keys() == 5
+
+    storage = SparseStorage(
+        row=row, rowptr=storage._rowptr, col=col, value=storage._value,
+        sparse_sizes=storage._sparse_sizes, rowcount=storage._rowcount,
+        colptr=storage._colptr, colcount=storage._colcount,
+        csr2csc=storage._csr2csc, csc2csr=storage._csc2csr,
+    )
+    assert storage.num_cached_keys() == 5
+
+    storage.clear_cache_()
+    assert storage._rowcount is None
+    assert storage._rowptr is not None
+    assert storage._colcount is None
+    assert storage._colptr is None
+    assert storage._csr2csc is None
+    assert storage.num_cached_keys() == 0
+
+
+@pytest.mark.parametrize("dtype", dtypes)
+def test_utility(dtype):
+    row = jnp.array([0, 0, 1, 1])
+    col = jnp.array([1, 0, 1, 0])
+    value = tensor([1, 2, 3, 4], dtype)
+    storage = SparseStorage(row=row, col=col, value=value)
+
+    assert storage.has_value()
+
+    storage = storage.set_value(value, layout="csc")
+    assert storage.value().tolist() == [1, 3, 2, 4]
+    storage = storage.set_value(value, layout="coo")
+    assert storage.value().tolist() == [1, 2, 3, 4]
+
+    storage = storage.sparse_resize((3, 3))
+    assert storage.sparse_sizes() == (3, 3)
+
+    new_storage = storage.copy()
+    assert new_storage is not storage
+    assert new_storage.col().tolist() == storage.col().tolist()
+
+
+@pytest.mark.parametrize("dtype", dtypes)
+def test_storage_coalesce(dtype):
+    row = jnp.array([0, 0, 0, 1, 1])
+    col = jnp.array([0, 1, 1, 0, 1])
+    value = tensor([1, 1, 1, 3, 4], dtype)
+    storage = SparseStorage(row=row, col=col, value=value)
+
+    assert storage.row().tolist() == row.tolist()
+    assert storage.col().tolist() == col.tolist()
+    assert storage.value().tolist() == value.tolist()
+
+    assert not storage.is_coalesced()
+    storage = storage.coalesce()
+    assert storage.is_coalesced()
+
+    assert storage.row().tolist() == [0, 0, 1, 1]
+    assert storage.col().tolist() == [0, 1, 0, 1]
+    assert storage.value().tolist() == [1, 2, 3, 4]
+
+
+def test_sparse_reshape():
+    row = jnp.array([0, 1, 2, 3])
+    col = jnp.array([0, 1, 2, 3])
+    storage = SparseStorage(row=row, col=col)
+
+    storage = storage.sparse_reshape(2, 8)
+    assert storage.sparse_sizes() == (2, 8)
+    assert storage.row().tolist() == [0, 0, 1, 1]
+    assert storage.col().tolist() == [0, 5, 2, 7]
+
+    storage = storage.sparse_reshape(-1, 4)
+    assert storage.sparse_sizes() == (4, 4)
+    assert storage.row().tolist() == [0, 1, 2, 3]
+    assert storage.col().tolist() == [0, 1, 2, 3]
+
+    storage = storage.sparse_reshape(2, -1)
+    assert storage.sparse_sizes() == (2, 8)
+    assert storage.row().tolist() == [0, 0, 1, 1]
+    assert storage.col().tolist() == [0, 5, 2, 7]
