@@ -1,0 +1,85 @@
+"""Driver benchmark: fp32 sum-reduce SpMM throughput at ogbn-arxiv scale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol mirrors the reference harness (``benchmark/main.py:61-91``):
+correctness pre-pass against a dense-oracle slice, then synchronized
+timing.  Timing uses the slope method (benchmarks/timing.py) because
+``block_until_ready`` does not block through the remote-TPU tunnel.
+
+``vs_baseline`` = achieved nnz/s divided by the BASELINE.json target
+(80% of the HBM-bandwidth roofline at this K), where the roofline charges
+the minimal traffic: one K-row gather per nnz + index/value reads + one
+output write.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from timing import device_time
+
+    import pytorch_sparse_tpu as ts
+
+    M = 169_343           # ogbn-arxiv nodes
+    E = 1_166_243         # ogbn-arxiv edges
+    K = 128
+    HBM_BW = 819e9        # TPU v5e peak HBM bandwidth (bytes/s)
+
+    rng = np.random.RandomState(0)
+    row = np.sort(rng.randint(0, M, E)).astype(np.int32)
+    col = rng.randint(0, M, E).astype(np.int32)
+    order = np.lexsort((col, row))
+    A = ts.SparseTensor(
+        row=jnp.asarray(row[order]), col=jnp.asarray(col[order]),
+        value=jnp.asarray(rng.randn(E).astype(np.float32)),
+        sparse_sizes=(M, M), is_sorted=True, trust_data=True,
+    )
+    mat = jnp.asarray(rng.randn(M, K).astype(np.float32))
+
+    # correctness pre-pass on a row slice vs dense oracle
+    out = ts.spmm_sum(A, mat)
+    sl = A[:256]
+    dense = np.asarray(sl.to_dense())
+    ref = dense @ np.asarray(mat)
+    ok = np.allclose(np.asarray(out[:256]), ref, atol=1e-2)
+    if not ok:
+        print(json.dumps({
+            "metric": "spmm_nnz_per_s", "value": 0.0, "unit": "nnz/s",
+            "vs_baseline": 0.0, "error": "correctness check failed",
+        }))
+        return
+
+    dt = device_time(lambda m: ts.spmm_sum(A, m), mat)
+    nnzs = E / dt
+
+    bytes_per_nnz = K * 4 + 12 + (M * K * 4) / E
+    roofline_nnzs = HBM_BW / bytes_per_nnz
+    target = 0.8 * roofline_nnzs
+
+    print(json.dumps({
+        "metric": "spmm_nnz_per_s",
+        "value": round(nnzs, 1),
+        "unit": "nnz/s",
+        "vs_baseline": round(nnzs / target, 4),
+        "detail": {
+            "graph": "synthetic ogbn-arxiv scale (169343 nodes, 1.17M nnz)",
+            "K": K,
+            "dtype": "float32",
+            "ms_per_spmm": round(dt * 1e3, 3),
+            "roofline_nnz_per_s": round(roofline_nnzs, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

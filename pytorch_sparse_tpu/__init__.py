@@ -26,6 +26,14 @@ from .ops import (  # noqa
 )
 from .utils import ind2ptr, ptr2ind, index_sort  # noqa
 
+# Samplers + partitioning attach further SparseTensor methods on import.
+from .sample import (  # noqa
+    random_walk, sample, sample_adj, saint_subgraph, ego_k_hop_sample_adj,
+    relabel, relabel_one_hop, neighbor_sample, hetero_neighbor_sample,
+    hetero_temporal_neighbor_sample, hgt_sample,
+)
+from .partition import partition, weight2metis  # noqa
+
 __all__ = [
     "SparseStorage",
     "SparseTensor",
@@ -75,5 +83,18 @@ __all__ = [
     "ind2ptr",
     "ptr2ind",
     "index_sort",
+    "random_walk",
+    "sample",
+    "sample_adj",
+    "saint_subgraph",
+    "ego_k_hop_sample_adj",
+    "relabel",
+    "relabel_one_hop",
+    "neighbor_sample",
+    "hetero_neighbor_sample",
+    "hetero_temporal_neighbor_sample",
+    "hgt_sample",
+    "partition",
+    "weight2metis",
     "__version__",
 ]

@@ -1,0 +1,152 @@
+"""Typed ctypes wrappers over ``libsparse_tpu_native.so``.
+
+Each wrapper returns plain numpy arrays; callers convert to jnp.  All
+wrappers are optional — import ``lib`` from this package and check for
+``None`` (the pure-numpy fallbacks in ``sample/`` implement identical
+semantics, modulo RNG stream).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Tuple
+
+import numpy as np
+
+from . import lib
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_f64p = ctypes.POINTER(ctypes.c_double)
+
+
+def _p(a: np.ndarray):
+    return a.ctypes.data_as(_i64p)
+
+
+def _pd(a: np.ndarray):
+    return a.ctypes.data_as(_f64p)
+
+
+if lib is not None:
+    lib.sample_adj.restype = ctypes.c_int64
+    lib.relabel_one_hop.restype = ctypes.c_int64
+    lib.partition_refine.restype = ctypes.c_int64
+    lib.partition_refine.argtypes = [
+        _i64p, _i64p, ctypes.c_int64, _i64p, _f64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double,
+    ]
+
+
+def available() -> bool:
+    return lib is not None
+
+
+def sample_adj(
+    rowptr: np.ndarray, col: np.ndarray, idx: np.ndarray,
+    num_neighbors: int, replace: bool, seed: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    n_idx = idx.shape[0]
+    deg = rowptr[idx + 1] - rowptr[idx]
+    if num_neighbors < 0:
+        e_out = int(deg.sum())
+    elif replace:
+        e_out = int(num_neighbors * (deg > 0).sum())
+    else:
+        e_out = int(np.minimum(deg, num_neighbors).sum())
+
+    out_rowptr = np.empty(n_idx + 1, np.int64)
+    out_col = np.empty(e_out, np.int64)
+    out_eid = np.empty(e_out, np.int64)
+    n_id = np.empty(n_idx + e_out, np.int64)
+    n = lib.sample_adj(
+        _p(rowptr), _p(col), ctypes.c_int64(rowptr.shape[0] - 1),
+        _p(idx), ctypes.c_int64(n_idx), ctypes.c_int64(num_neighbors),
+        ctypes.c_int32(1 if replace else 0), ctypes.c_uint64(seed),
+        _p(out_rowptr), _p(out_col), _p(out_eid), _p(n_id),
+    )
+    return out_rowptr, out_col, out_eid, n_id[:n]
+
+
+def neighbor_sample(
+    colptr: np.ndarray, row: np.ndarray, input_node: np.ndarray,
+    num_neighbors: np.ndarray, replace: bool, directed: bool, seed: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    counts = np.zeros(2, np.int64)
+    args = (
+        _p(colptr), _p(row), ctypes.c_int64(colptr.shape[0] - 1),
+        _p(input_node), ctypes.c_int64(input_node.shape[0]),
+        _p(num_neighbors), ctypes.c_int64(num_neighbors.shape[0]),
+        ctypes.c_int32(1 if replace else 0),
+        ctypes.c_int32(1 if directed else 0), ctypes.c_uint64(seed),
+    )
+    lib.neighbor_sample(*args, _p(counts), None, None, None, None)
+    out_nodes = np.empty(counts[0], np.int64)
+    out_rows = np.empty(counts[1], np.int64)
+    out_cols = np.empty(counts[1], np.int64)
+    out_edges = np.empty(counts[1], np.int64)
+    lib.neighbor_sample(
+        *args, _p(counts), _p(out_nodes), _p(out_rows), _p(out_cols),
+        _p(out_edges),
+    )
+    return out_nodes, out_rows, out_cols, out_edges
+
+
+def saint_subgraph(
+    rowptr: np.ndarray, col: np.ndarray, idx: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    counts = np.zeros(1, np.int64)
+    args = (
+        _p(rowptr), _p(col), ctypes.c_int64(rowptr.shape[0] - 1),
+        _p(idx), ctypes.c_int64(idx.shape[0]),
+    )
+    lib.saint_subgraph(*args, _p(counts), None, None, None)
+    out_row = np.empty(counts[0], np.int64)
+    out_col = np.empty(counts[0], np.int64)
+    out_eid = np.empty(counts[0], np.int64)
+    lib.saint_subgraph(
+        *args, _p(counts), _p(out_row), _p(out_col), _p(out_eid)
+    )
+    return out_row, out_col, out_eid
+
+
+def relabel_one_hop(
+    rowptr: np.ndarray, col: np.ndarray, idx: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    deg = rowptr[idx + 1] - rowptr[idx]
+    e_out = int(deg.sum())
+    out_rowptr = np.empty(idx.shape[0] + 1, np.int64)
+    out_col = np.empty(e_out, np.int64)
+    out_eid = np.empty(e_out, np.int64)
+    n_id = np.empty(idx.shape[0] + e_out, np.int64)
+    n = lib.relabel_one_hop(
+        _p(rowptr), _p(col), _p(idx), ctypes.c_int64(idx.shape[0]),
+        _p(out_rowptr), _p(out_col), _p(out_eid), _p(n_id),
+    )
+    return out_rowptr, out_col, out_eid, n_id[:n]
+
+
+def random_walk(
+    rowptr: np.ndarray, col: np.ndarray, start: np.ndarray,
+    walk_length: int, seed: int,
+) -> np.ndarray:
+    out = np.empty((start.shape[0], walk_length + 1), np.int64)
+    lib.random_walk(
+        _p(rowptr), _p(col), _p(start), ctypes.c_int64(start.shape[0]),
+        ctypes.c_int64(walk_length), ctypes.c_uint64(seed), _p(out),
+    )
+    return out
+
+
+def partition_refine(
+    rowptr: np.ndarray, col: np.ndarray, cluster: np.ndarray,
+    node_w: np.ndarray, num_parts: int, passes: int = 4,
+    imbalance: float = 0.1,
+) -> np.ndarray:
+    cluster = np.ascontiguousarray(cluster, np.int64)
+    lib.partition_refine(
+        _p(rowptr), _p(col), ctypes.c_int64(rowptr.shape[0] - 1),
+        _p(cluster), _pd(np.ascontiguousarray(node_w, np.float64)),
+        ctypes.c_int64(num_parts), ctypes.c_int64(passes),
+        ctypes.c_double(imbalance),
+    )
+    return cluster

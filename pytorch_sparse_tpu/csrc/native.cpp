@@ -1,0 +1,365 @@
+// Native host-side kernels for pytorch_sparse_tpu.
+//
+// TPU-native counterpart of the reference's csrc/cpu sampling kernels
+// (sample_cpu.cpp, neighbor_sample_cpu.cpp, saint_cpu.cpp,
+// relabel_cpu.cpp, rw_cpu.cpp) and the METIS binding (metis_cpu.cpp):
+// the device math lives in XLA/Pallas, but the irregular pointer-chasing
+// (hash relabeling, per-row reservoir sampling, partition refinement)
+// stays on the host and is implemented here in C++ behind a plain C ABI
+// loaded via ctypes (no torch, no pybind).
+//
+// Contract notes:
+//  * All index arrays are int64.
+//  * Random draws use a per-call SplitMix64/xoshiro256** generator seeded
+//    from the caller: same seed => identical output (the determinism
+//    contract of csrc/cpu/utils.h:40-50).
+//  * Output sizes that are data-dependent use a (count, fill) pair or
+//    caller-computed exact bounds, documented per function.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// RNG: xoshiro256** seeded via SplitMix64.
+// ---------------------------------------------------------------------
+struct Rng {
+  uint64_t s[4];
+};
+
+static inline uint64_t splitmix64(uint64_t &x) {
+  uint64_t z = (x += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
+static inline void rng_seed(Rng *r, uint64_t seed) {
+  for (int i = 0; i < 4; i++) r->s[i] = splitmix64(seed);
+}
+
+static inline uint64_t rotl(uint64_t x, int k) {
+  return (x << k) | (x >> (64 - k));
+}
+
+static inline uint64_t rng_next(Rng *r) {
+  const uint64_t result = rotl(r->s[1] * 5, 7) * 9;
+  const uint64_t t = r->s[1] << 17;
+  r->s[2] ^= r->s[0];
+  r->s[3] ^= r->s[1];
+  r->s[1] ^= r->s[2];
+  r->s[0] ^= r->s[3];
+  r->s[2] ^= t;
+  r->s[3] = rotl(r->s[3], 45);
+  return result;
+}
+
+static inline int64_t rng_below(Rng *r, int64_t n) {
+  // Lemire's nearly-divisionless bounded draw.
+  return (int64_t)(((__uint128_t)rng_next(r) * (__uint128_t)n) >> 64);
+}
+
+// ---------------------------------------------------------------------
+// sample_adj: one-hop sampled bipartite adjacency
+// (reference cpu/sample_cpu.cpp:10-137).
+//
+// Caller sizes outputs exactly:
+//   E_out = sum over idx of (deg            if num_neighbors < 0
+//                            num*(deg>0)    if replace
+//                            min(deg, num)  otherwise)
+//   n_id buffer capacity: n_idx + E_out.
+// Outputs: out_rowptr (n_idx+1), out_col/out_eid (E_out), n_id.
+// Per-row cols sorted by local id. Returns the n_id count.
+// ---------------------------------------------------------------------
+int64_t sample_adj(const int64_t *rowptr, const int64_t *col, int64_t n_nodes,
+                   const int64_t *idx, int64_t n_idx, int64_t num_neighbors,
+                   int32_t replace, uint64_t seed, int64_t *out_rowptr,
+                   int64_t *out_col, int64_t *out_eid, int64_t *n_id) {
+  (void)n_nodes;
+  Rng rng;
+  rng_seed(&rng, seed);
+
+  std::unordered_map<int64_t, int64_t> n_id_map;
+  n_id_map.reserve(2 * n_idx);
+  int64_t n_count = 0;
+  for (int64_t i = 0; i < n_idx; i++) {
+    n_id_map[idx[i]] = i;
+    n_id[n_count++] = idx[i];
+  }
+
+  std::vector<std::pair<int64_t, int64_t>> row_buf;  // (local col, e_id)
+  int64_t out_pos = 0;
+  out_rowptr[0] = 0;
+
+  for (int64_t i = 0; i < n_idx; i++) {
+    const int64_t v = idx[i];
+    const int64_t start = rowptr[v], deg = rowptr[v + 1] - rowptr[v];
+    row_buf.clear();
+
+    auto push = [&](int64_t e) {
+      const int64_t c = col[e];
+      auto it = n_id_map.find(c);
+      int64_t local;
+      if (it == n_id_map.end()) {
+        local = n_count;
+        n_id_map.emplace(c, local);
+        n_id[n_count++] = c;
+      } else {
+        local = it->second;
+      }
+      row_buf.emplace_back(local, e);
+    };
+
+    if (num_neighbors < 0) {
+      for (int64_t j = 0; j < deg; j++) push(start + j);
+    } else if (replace) {
+      if (deg > 0)
+        for (int64_t j = 0; j < num_neighbors; j++)
+          push(start + rng_below(&rng, deg));
+    } else if (deg <= num_neighbors) {
+      for (int64_t j = 0; j < deg; j++) push(start + j);
+    } else {
+      // Robert Floyd sampling without replacement.
+      std::unordered_set<int64_t> perm;
+      perm.reserve(num_neighbors * 2);
+      for (int64_t j = deg - num_neighbors; j < deg; j++) {
+        if (!perm.insert(rng_below(&rng, j)).second) perm.insert(j);
+      }
+      for (const int64_t p : perm) push(start + p);
+    }
+
+    std::sort(row_buf.begin(), row_buf.end());
+    for (const auto &pr : row_buf) {
+      out_col[out_pos] = pr.first;
+      out_eid[out_pos] = pr.second;
+      out_pos++;
+    }
+    out_rowptr[i + 1] = out_pos;
+  }
+  return n_count;
+}
+
+// ---------------------------------------------------------------------
+// neighbor_sample (homogeneous, CSC-driven, reference
+// cpu/neighbor_sample_cpu.cpp:16-118).
+//
+// Two-phase: call with out_* = nullptr to get counts packed into
+// counts[0]=n_samples, counts[1]=n_edges; then call again with buffers.
+// Deterministic for a fixed seed, so both phases sample identically.
+// ---------------------------------------------------------------------
+void neighbor_sample(const int64_t *colptr, const int64_t *row,
+                     int64_t n_nodes, const int64_t *input_node,
+                     int64_t n_input, const int64_t *num_neighbors,
+                     int64_t num_hops, int32_t replace, int32_t directed,
+                     uint64_t seed, int64_t *counts, int64_t *out_nodes,
+                     int64_t *out_rows, int64_t *out_cols,
+                     int64_t *out_edges) {
+  (void)n_nodes;
+  Rng rng;
+  rng_seed(&rng, seed);
+
+  std::vector<int64_t> samples(input_node, input_node + n_input);
+  std::unordered_map<int64_t, int64_t> to_local;
+  to_local.reserve(4 * n_input);
+  for (int64_t i = 0; i < n_input; i++) to_local[input_node[i]] = i;
+
+  std::vector<int64_t> rows, cols, edges;
+
+  auto visit = [&](int64_t e, int64_t i) {
+    const int64_t v = row[e];
+    auto res = to_local.emplace(v, (int64_t)samples.size());
+    if (res.second) samples.push_back(v);
+    if (directed) {
+      rows.push_back(res.first->second);
+      cols.push_back(i);
+      edges.push_back(e);
+    }
+  };
+
+  int64_t begin = 0, end = (int64_t)samples.size();
+  for (int64_t ell = 0; ell < num_hops; ell++) {
+    const int64_t num = num_neighbors[ell];
+    for (int64_t i = begin; i < end; i++) {
+      const int64_t w = samples[i];
+      const int64_t start = colptr[w], deg = colptr[w + 1] - colptr[w];
+      if (deg == 0) continue;
+      if (num < 0 || (!replace && num >= deg)) {
+        for (int64_t j = 0; j < deg; j++) visit(start + j, i);
+      } else if (replace) {
+        for (int64_t j = 0; j < num; j++)
+          visit(start + rng_below(&rng, deg), i);
+      } else {
+        std::unordered_set<int64_t> perm;
+        for (int64_t j = deg - num; j < deg; j++) {
+          int64_t rnd = rng_below(&rng, j);
+          if (!perm.insert(rnd).second) {
+            rnd = j;
+            perm.insert(j);
+          }
+          visit(start + rnd, i);
+        }
+      }
+    }
+    begin = end;
+    end = (int64_t)samples.size();
+  }
+
+  if (!directed) {
+    for (int64_t i = 0; i < (int64_t)samples.size(); i++) {
+      const int64_t w = samples[i];
+      for (int64_t e = colptr[w]; e < colptr[w + 1]; e++) {
+        auto it = to_local.find(row[e]);
+        if (it != to_local.end()) {
+          rows.push_back(it->second);
+          cols.push_back(i);
+          edges.push_back(e);
+        }
+      }
+    }
+  }
+
+  counts[0] = (int64_t)samples.size();
+  counts[1] = (int64_t)rows.size();
+  if (out_nodes) {
+    std::memcpy(out_nodes, samples.data(), samples.size() * sizeof(int64_t));
+    std::memcpy(out_rows, rows.data(), rows.size() * sizeof(int64_t));
+    std::memcpy(out_cols, cols.data(), cols.size() * sizeof(int64_t));
+    std::memcpy(out_edges, edges.data(), edges.size() * sizeof(int64_t));
+  }
+}
+
+// ---------------------------------------------------------------------
+// saint_subgraph: node-induced subgraph (reference cpu/saint_cpu.cpp).
+// Two-phase via counts[0] = number of kept edges.
+// ---------------------------------------------------------------------
+void saint_subgraph(const int64_t *rowptr, const int64_t *col,
+                    int64_t n_nodes, const int64_t *idx, int64_t n_idx,
+                    int64_t *counts, int64_t *out_row, int64_t *out_col,
+                    int64_t *out_eid) {
+  std::vector<int64_t> assoc(n_nodes, -1);
+  for (int64_t i = 0; i < n_idx; i++) assoc[idx[i]] = i;
+
+  int64_t k = 0;
+  for (int64_t i = 0; i < n_idx; i++) {
+    const int64_t v = idx[i];
+    for (int64_t e = rowptr[v]; e < rowptr[v + 1]; e++) {
+      const int64_t w = assoc[col[e]];
+      if (w >= 0) {
+        if (out_row) {
+          out_row[k] = i;
+          out_col[k] = w;
+          out_eid[k] = e;
+        }
+        k++;
+      }
+    }
+  }
+  counts[0] = k;
+}
+
+// ---------------------------------------------------------------------
+// relabel_one_hop (reference cpu/relabel_cpu.cpp:45-143).
+// E_out = sum(deg[idx]) (caller-computed); n_id capacity n_idx + E_out.
+// Returns n_id count.
+// ---------------------------------------------------------------------
+int64_t relabel_one_hop(const int64_t *rowptr, const int64_t *col,
+                        const int64_t *idx, int64_t n_idx,
+                        int64_t *out_rowptr, int64_t *out_col,
+                        int64_t *out_eid, int64_t *n_id) {
+  std::unordered_map<int64_t, int64_t> n_id_map;
+  n_id_map.reserve(4 * n_idx);
+  int64_t n_count = 0;
+  for (int64_t i = 0; i < n_idx; i++) {
+    n_id_map[idx[i]] = i;
+    n_id[n_count++] = idx[i];
+  }
+  int64_t pos = 0;
+  out_rowptr[0] = 0;
+  for (int64_t i = 0; i < n_idx; i++) {
+    const int64_t v = idx[i];
+    for (int64_t e = rowptr[v]; e < rowptr[v + 1]; e++) {
+      const int64_t w = col[e];
+      auto res = n_id_map.emplace(w, n_count);
+      if (res.second) n_id[n_count++] = w;
+      out_col[pos] = res.first->second;
+      out_eid[pos] = e;
+      pos++;
+    }
+    out_rowptr[i + 1] = pos;
+  }
+  return n_count;
+}
+
+// ---------------------------------------------------------------------
+// random_walk: (n_starts, L+1) node ids (reference cpu/rw_cpu.cpp:5-43;
+// degree-0 nodes stay in place). Host fallback of the device-native path.
+// ---------------------------------------------------------------------
+void random_walk(const int64_t *rowptr, const int64_t *col,
+                 const int64_t *start, int64_t n_start, int64_t walk_length,
+                 uint64_t seed, int64_t *out) {
+  Rng rng;
+  rng_seed(&rng, seed);
+  for (int64_t i = 0; i < n_start; i++) {
+    int64_t cur = start[i];
+    out[i * (walk_length + 1)] = cur;
+    for (int64_t l = 1; l <= walk_length; l++) {
+      const int64_t deg = rowptr[cur + 1] - rowptr[cur];
+      if (deg > 0) cur = col[rowptr[cur] + rng_below(&rng, deg)];
+      out[i * (walk_length + 1) + l] = cur;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
+// partition_refine: greedy boundary refinement (FM-style sweeps) used by
+// partition/metis.py on top of the RCM chunking. Moves a node to the
+// neighbor-majority part when it reduces cut and keeps balance within
+// (1 + imbalance). Modifies `cluster` in place; returns #moves.
+// ---------------------------------------------------------------------
+int64_t partition_refine(const int64_t *rowptr, const int64_t *col,
+                         int64_t n_nodes, int64_t *cluster,
+                         const double *node_w, int64_t num_parts,
+                         int64_t passes, double imbalance) {
+  std::vector<double> part_w(num_parts, 0.0);
+  double total = 0.0;
+  for (int64_t v = 0; v < n_nodes; v++) {
+    part_w[cluster[v]] += node_w[v];
+    total += node_w[v];
+  }
+  const double limit = (1.0 + imbalance) * total / (double)num_parts;
+
+  std::vector<int64_t> count(num_parts, 0);
+  int64_t total_moves = 0;
+  for (int64_t pass = 0; pass < passes; pass++) {
+    int64_t moves = 0;
+    for (int64_t v = 0; v < n_nodes; v++) {
+      const int64_t p = cluster[v];
+      const int64_t start = rowptr[v], end = rowptr[v + 1];
+      if (end == start) continue;
+      std::fill(count.begin(), count.end(), 0);
+      for (int64_t e = start; e < end; e++) count[cluster[col[e]]]++;
+      int64_t q = 0;
+      for (int64_t t = 1; t < num_parts; t++)
+        if (count[t] > count[q]) q = t;
+      if (q == p || count[q] <= count[p]) continue;
+      if (part_w[q] + node_w[v] > limit) continue;
+      cluster[v] = q;
+      part_w[p] -= node_w[v];
+      part_w[q] += node_w[v];
+      moves++;
+    }
+    total_moves += moves;
+    if (moves == 0) break;
+  }
+  return total_moves;
+}
+
+// Version tag for the loader.
+int64_t sparse_tpu_native_abi_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,65 @@
+"""Graph Attention Network — exercises per-edge computation + segment
+softmax over the CSR structure (everything static-shape and jit-able)."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..segment import segment_max, segment_sum
+from ..tensor import SparseTensor
+from .gcn import _glorot
+
+
+def edge_softmax(
+    row: jnp.ndarray, logits: jnp.ndarray, M: int
+) -> jnp.ndarray:
+    """Numerically-stable softmax over each row's incident edges.
+    ``logits``: (E, H)."""
+    mx = segment_max(logits, row, M, indices_are_sorted=True)
+    ex = jnp.exp(logits - jnp.take(mx, row, axis=0))
+    denom = segment_sum(ex, row, M, indices_are_sorted=True)
+    return ex / jnp.maximum(jnp.take(denom, row, axis=0), 1e-16)
+
+
+class GAT:
+    @staticmethod
+    def init(key, in_dim, hidden_dim, out_dim, heads: int = 4,
+             dtype=jnp.float32) -> Dict:
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+        return {
+            "w1": _glorot(k1, in_dim, heads * hidden_dim, dtype),
+            "a1_src": jax.random.normal(k2, (heads, hidden_dim), dtype) * 0.1,
+            "a1_dst": jax.random.normal(k3, (heads, hidden_dim), dtype) * 0.1,
+            "w2": _glorot(k4, heads * hidden_dim, out_dim, dtype),
+            "a2_src": jax.random.normal(k5, (1, out_dim), dtype) * 0.1,
+            "a2_dst": jax.random.normal(k6, (1, out_dim), dtype) * 0.1,
+        }
+
+    @staticmethod
+    def _layer(adj: SparseTensor, h, a_src, a_dst, negative_slope=0.2):
+        """h: (N, H, D). Returns (M, H, D) attention-weighted aggregation."""
+        row, col, _ = adj.coo()
+        M = adj.sparse_size(0)
+        alpha_src = jnp.einsum("nhd,hd->nh", h, a_src)
+        alpha_dst = jnp.einsum("nhd,hd->nh", h, a_dst)
+        logits = jnp.take(alpha_src, row, axis=0) + jnp.take(
+            alpha_dst, col, axis=0
+        )
+        logits = jax.nn.leaky_relu(logits, negative_slope)
+        att = edge_softmax(row, logits, M)                     # (E, H)
+        msgs = jnp.take(h, col, axis=0) * att[:, :, None]      # (E, H, D)
+        return segment_sum(msgs, row, M, indices_are_sorted=True)
+
+    @staticmethod
+    def apply(params: Dict, adj: SparseTensor, x: jnp.ndarray) -> jnp.ndarray:
+        H, D = params["a1_src"].shape
+        h = (x @ params["w1"]).reshape(-1, H, D)
+        h = GAT._layer(adj, h, params["a1_src"], params["a1_dst"])
+        h = jax.nn.elu(h).reshape(-1, H * D)
+        out_dim = params["w2"].shape[1]
+        h2 = (h @ params["w2"]).reshape(-1, 1, out_dim)
+        h2 = GAT._layer(adj, h2, params["a2_src"], params["a2_dst"])
+        return h2[:, 0, :]

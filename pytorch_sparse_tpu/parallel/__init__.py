@@ -1,0 +1,15 @@
+"""Multi-chip distribution layer.
+
+The reference has **no** distributed runtime (SURVEY.md §2.3) — its METIS
+``partition`` output (``partptr``, ``perm``) is only data.  Here that output
+is promoted to a first-class distribution layer: row-partitioned sparse
+matrices over a ``jax.sharding.Mesh``, with distributed SpMM via
+``shard_map`` and XLA collectives (all_gather / ppermute ring with
+compute-communication overlap), the TPU analogue of ring attention's KV
+rotation (SURVEY.md §5 "long-context" mapping).
+"""
+
+from .mesh import make_mesh, data_axis  # noqa
+from .dist import (  # noqa
+    ShardedSparseMatrix, dist_spmm, dist_spmm_allgather, dist_spmm_ring,
+)
