@@ -3,30 +3,18 @@ sharding paths compile and execute without TPU hardware (SURVEY.md §4:
 the "fake backend" the reference never needed).
 
 The container's sitecustomize registers the remote-TPU ("axon") PJRT
-plugin at interpreter startup and pins ``JAX_PLATFORMS=axon``, which a
-conftest cannot undo after the fact — so if we detect it, we re-exec the
-test process with a cleaned environment (the sitecustomize skips
-registration when ``PALLAS_AXON_POOL_IPS`` is empty).
+plugin at interpreter startup and pins ``JAX_PLATFORMS=axon`` in the env.
+Plugin *registration* is harmless — backend selection is lazy — so we
+override platform choice in-process with ``jax.config`` before any
+backend initializes.  (Do NOT ``os.execv`` here: pytest's fd-level
+capture has already redirected fd 1 to a temp file by conftest time, so
+a re-exec'd process writes the whole session report into a deleted file
+and the runner sees no output at all.)
 """
 
 import os
-import sys
 
-if os.environ.get("PALLAS_AXON_POOL_IPS"):
-    os.environ["PALLAS_AXON_POOL_IPS"] = ""
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-    # Re-run through `-m pytest` so CWD stays importable (running
-    # pytest/__main__.py as a script would drop it from sys.path).
-    os.execv(
-        sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:]
-    )
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -40,6 +28,11 @@ warnings.filterwarnings(
 )
 
 import jax  # noqa: E402
+
+# In-process platform override (sitecustomize may have locked the config
+# default to "axon" when it imported jax; update() wins as long as no
+# backend has been created yet).
+jax.config.update("jax_platforms", "cpu")
 
 # This XLA build runs f32 dots at bf16 precision by DEFAULT (measured
 # ~1e-2 abs error on a 10x8 matmul); pin full precision so dense oracles
