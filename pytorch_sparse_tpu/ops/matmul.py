@@ -36,6 +36,7 @@ from jax import dtypes
 
 from ..storage import SparseStorage
 from ..tensor import SparseTensor
+from .kernels.ell import ell_spmm
 from .segment import segment_count, segment_mean, segment_min, segment_max, segment_sum
 
 
@@ -194,12 +195,66 @@ _spmm_max.defvjp(_spmm_max_fwd, _spmm_max_bwd)
 
 
 # ----------------------------------------------------------------------
+# ELLPACK fast path (scatter-free; ops/kernels/ell.py).  The custom VJP
+# keeps the reference gradient contract and backs grad_mat with the
+# transpose ELL instead of a scatter (csrc/spmm.cpp:100-108 obtains the
+# same transpose via the cached csr2csc permutation).
+# ----------------------------------------------------------------------
+
+@jax.custom_vjp
+def _ell_spmm_sum(ellA, ellAT, row, col, value, mat):
+    return ell_spmm(ellA, value, mat)
+
+
+def _ell_spmm_sum_fwd(ellA, ellAT, row, col, value, mat):
+    return ell_spmm(ellA, value, mat), (ellA, ellAT, row, col, value, mat)
+
+
+def _ell_spmm_sum_bwd(res, grad):
+    ellA, ellAT, row, col, value, mat = res
+    grad_value = None
+    if value is not None:
+        grad_value = jnp.sum(
+            jnp.take(mat, col, axis=0) * jnp.take(grad, row, axis=0), axis=-1
+        ).astype(value.dtype)
+    grad_mat = ell_spmm(ellAT, value, grad).astype(mat.dtype)
+    zeros = partial(jax.tree_util.tree_map, _int_zero)
+    return (
+        zeros(ellA), zeros(ellAT), _int_zero(row), _int_zero(col),
+        grad_value, grad_mat,
+    )
+
+
+_ell_spmm_sum.defvjp(_ell_spmm_sum_fwd, _ell_spmm_sum_bwd)
+
+
+def _ell_views(src: SparseTensor):
+    """Both ELL views if available (cached, or buildable eagerly)."""
+    st = src.storage
+    ell = st.ell()
+    if ell is None:
+        return None
+    ell_t = st.ell_t()
+    if ell_t is None:
+        return None
+    return ell, ell_t
+
+
+# ----------------------------------------------------------------------
 # Public SpMM API over SparseTensor (reference matmul.py:9-91)
 # ----------------------------------------------------------------------
 
 def spmm_sum(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
     row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
     M = src.sparse_size(0)
+    views = _ell_views(src)
+    if views is not None:
+        ellA, ellAT = views
+        if other.ndim == 2:
+            return _ell_spmm_sum(ellA, ellAT, row, col, value, other)
+        return jax.vmap(
+            lambda m: _ell_spmm_sum(ellA, ellAT, row, col, value, m)
+        )(other)
     if other.ndim == 2:
         return _spmm_sum(M, row, col, value, other)
     return jax.vmap(lambda m: _spmm_sum(M, row, col, value, m))(other)
@@ -212,6 +267,19 @@ def spmm_add(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
 def spmm_mean(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
     row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
     M = src.sparse_size(0)
+    views = _ell_views(src)
+    if views is not None:
+        # mean = sum / max(deg, 1); JAX AD folds the 1/deg into both
+        # gradients automatically, matching csrc/spmm.cpp:166-177.
+        ellA, ellAT = views
+        deg = jnp.maximum(src.storage.rowcount(), 1).astype(other.dtype)
+        if other.ndim == 2:
+            out = _ell_spmm_sum(ellA, ellAT, row, col, value, other)
+            return out / deg[:, None]
+        out = jax.vmap(
+            lambda m: _ell_spmm_sum(ellA, ellAT, row, col, value, m)
+        )(other)
+        return out / deg[None, :, None]
     if other.ndim == 2:
         return _spmm_mean(M, row, col, value, other)
     return jax.vmap(lambda m: _spmm_mean(M, row, col, value, m))(other)

@@ -81,6 +81,9 @@ class SparseStorage:
     _colcount: Optional[jnp.ndarray]
     _csr2csc: Optional[jnp.ndarray]
     _csc2csr: Optional[jnp.ndarray]
+    # Degree-bucketed ELLPACK views (TPU SpMM fast path; ops/kernels/ell.py).
+    _ell: Optional[Any]
+    _ell_t: Optional[Any]
 
     def __init__(
         self,
@@ -198,6 +201,8 @@ class SparseStorage:
         self._colcount = colcount
         self._csr2csc = csr2csc
         self._csc2csr = csc2csr
+        self._ell = None
+        self._ell_t = None
 
     @classmethod
     def empty(cls) -> "SparseStorage":
@@ -245,13 +250,16 @@ class SparseStorage:
             if get_layout(layout) == "csc":
                 value = value[self.csc2csr()]
             assert value.shape[0] == self._col.shape[0]
-        return SparseStorage(
+        out = SparseStorage(
             row=self._row, rowptr=self._rowptr, col=self._col, value=value,
             sparse_sizes=self._sparse_sizes, rowcount=self._rowcount,
             colptr=self._colptr, colcount=self._colcount,
             csr2csc=self._csr2csc, csc2csr=self._csc2csr,
             is_sorted=True, trust_data=True,
         )
+        # ELL views index edges, not values — they survive value swaps.
+        out._ell, out._ell_t = self._ell, self._ell_t
+        return out
 
     # The reference distinguishes in-place `set_value_`; arrays are
     # immutable in JAX so both spellings return a new storage.
@@ -411,6 +419,57 @@ class SparseStorage:
         return self._csc2csr
 
     # ------------------------------------------------------------------
+    # ELLPACK views (TPU SpMM fast path; not a reference cache — see
+    # ops/kernels/ell.py).  Built eagerly on first use; under tracing
+    # they are only available if already filled (they ride the pytree).
+    # ------------------------------------------------------------------
+    def has_ell(self) -> bool:
+        return self._ell is not None
+
+    def ell(self):
+        """ELLPACK view of the CSR layout (gather index = col)."""
+        if self._ell is None:
+            import numpy as np
+
+            from .ops.kernels.ell import build_ell
+
+            rowptr, col = self.rowptr(), self._col
+            if not _is_concrete(rowptr) or not _is_concrete(col):
+                return None
+            self._ell = build_ell(
+                np.asarray(rowptr), np.asarray(col), None,
+                self._sparse_sizes[0],
+            )
+        return self._ell
+
+    def has_ell_t(self) -> bool:
+        return self._ell_t is not None
+
+    def ell_t(self):
+        """ELLPACK view of the transpose (CSC layout, gather index = row);
+        edge ids reference the original CSR edge order via csr2csc."""
+        if self._ell_t is None:
+            import numpy as np
+
+            from .ops.kernels.ell import build_ell
+
+            colptr = self.colptr()
+            csr2csc = self.csr2csc()
+            row = self.row()
+            if (
+                not _is_concrete(colptr)
+                or not _is_concrete(csr2csc)
+                or not _is_concrete(row)
+            ):
+                return None
+            perm = np.asarray(csr2csc)
+            self._ell_t = build_ell(
+                np.asarray(colptr), np.asarray(row)[perm], perm,
+                self._sparse_sizes[1],
+            )
+        return self._ell_t
+
+    # ------------------------------------------------------------------
     # Coalescing (reference storage.py:431-466). Output nnz is
     # data-dependent -> eager-only when duplicates exist.
     # ------------------------------------------------------------------
@@ -471,6 +530,8 @@ class SparseStorage:
         self._colcount = None
         self._csr2csc = None
         self._csc2csr = None
+        self._ell = None
+        self._ell_t = None
         return self
 
     def cached_keys(self) -> List[str]:
@@ -487,13 +548,15 @@ class SparseStorage:
     # Copy / device / dtype (reference storage.py:503-710)
     # ------------------------------------------------------------------
     def copy(self) -> "SparseStorage":
-        return SparseStorage(
+        out = SparseStorage(
             row=self._row, rowptr=self._rowptr, col=self._col,
             value=self._value, sparse_sizes=self._sparse_sizes,
             rowcount=self._rowcount, colptr=self._colptr,
             colcount=self._colcount, csr2csc=self._csr2csc,
             csc2csr=self._csc2csr, is_sorted=True, trust_data=True,
         )
+        out._ell, out._ell_t = self._ell, self._ell_t
+        return out
 
     clone = copy  # JAX arrays are immutable; copy == clone.
 
@@ -509,13 +572,18 @@ class SparseStorage:
         def opt(x):
             return None if x is None else fn(x)
 
-        return SparseStorage(
+        out = SparseStorage(
             row=opt(self._row), rowptr=opt(self._rowptr), col=fn(self._col),
             value=opt(self._value), sparse_sizes=self._sparse_sizes,
             rowcount=opt(self._rowcount), colptr=opt(self._colptr),
             colcount=opt(self._colcount), csr2csc=opt(self._csr2csc),
             csc2csr=opt(self._csc2csr), is_sorted=True, trust_data=True,
         )
+        if self._ell is not None:
+            out._ell = jax.tree_util.tree_map(fn, self._ell)
+        if self._ell_t is not None:
+            out._ell_t = jax.tree_util.tree_map(fn, self._ell_t)
+        return out
 
     def to_device(self, device) -> "SparseStorage":
         return self.apply(lambda x: jax.device_put(x, device))
@@ -534,7 +602,7 @@ class SparseStorage:
 def _storage_flatten(s: SparseStorage):
     children = (
         s._row, s._rowptr, s._col, s._value, s._rowcount, s._colptr,
-        s._colcount, s._csr2csc, s._csc2csr,
+        s._colcount, s._csr2csc, s._csc2csr, s._ell, s._ell_t,
     )
     return children, s._sparse_sizes
 
@@ -542,7 +610,8 @@ def _storage_flatten(s: SparseStorage):
 def _storage_unflatten(aux, children) -> SparseStorage:
     obj = object.__new__(SparseStorage)
     (obj._row, obj._rowptr, obj._col, obj._value, obj._rowcount, obj._colptr,
-     obj._colcount, obj._csr2csc, obj._csc2csr) = children
+     obj._colcount, obj._csr2csc, obj._csc2csr, obj._ell,
+     obj._ell_t) = children
     obj._sparse_sizes = aux
     return obj
 

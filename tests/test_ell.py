@@ -1,0 +1,177 @@
+"""Tests for the scatter-free ELLPACK SpMM fast path (ops/kernels/ell.py)
+and the Pallas sorted-segment reduce kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_sparse_tpu as ts
+from pytorch_sparse_tpu.ops.kernels.ell import build_ell, ell_spmm
+
+
+def _random_graph(M, N, E, seed=0, with_value=True):
+    rng = np.random.RandomState(seed)
+    row = rng.randint(0, M, E).astype(np.int32)
+    col = rng.randint(0, N, E).astype(np.int32)
+    value = rng.randn(E).astype(np.float32) if with_value else None
+    A = ts.SparseTensor(
+        row=jnp.asarray(row), col=jnp.asarray(col),
+        value=None if value is None else jnp.asarray(value),
+        sparse_sizes=(M, N),
+    )
+    return A
+
+
+def _dense_oracle(A, mat):
+    return np.asarray(A.to_dense()) @ np.asarray(mat)
+
+
+@pytest.mark.parametrize("with_value", [True, False])
+@pytest.mark.parametrize("shape", [(60, 50, 400), (33, 70, 1), (20, 20, 0)])
+def test_ell_spmm_matches_oracle(shape, with_value):
+    M, N, E = shape
+    A = _random_graph(M, N, E, seed=E + with_value, with_value=with_value)
+    mat = jnp.asarray(np.random.RandomState(1).randn(N, 16).astype(np.float32))
+
+    ell = A.storage.ell()
+    assert ell is not None
+    out = ell_spmm(ell, A.storage.value(), mat)
+    ref = _dense_oracle(A, mat)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_ell_skewed_degrees():
+    # One very dense row (forces a wide bucket) + many empty rows.
+    M, N = 300, 40
+    rng = np.random.RandomState(3)
+    row = np.concatenate([np.zeros(500, np.int64), rng.randint(1, 10, 50)])
+    col = rng.randint(0, N, row.shape[0])
+    val = rng.randn(row.shape[0]).astype(np.float32)
+    A = ts.SparseTensor(
+        row=jnp.asarray(row), col=jnp.asarray(col), value=jnp.asarray(val),
+        sparse_sizes=(M, N),
+    ).coalesce("add")
+    mat = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    out = ts.spmm_sum(A, mat)
+    np.testing.assert_allclose(
+        np.asarray(out), _dense_oracle(A, mat), atol=1e-4
+    )
+
+
+def test_ell_spmm_sum_gradients_match_segment_path():
+    M, N, E, K = 40, 30, 200, 8
+    A = _random_graph(M, N, E, seed=7)
+    rng = np.random.RandomState(2)
+    mat = jnp.asarray(rng.randn(N, K).astype(np.float32))
+    cot = jnp.asarray(rng.randn(M, K).astype(np.float32))
+
+    from pytorch_sparse_tpu.ops.matmul import _spmm_sum
+
+    row, col = A.storage.row(), A.storage.col()
+    value = A.storage.value()
+
+    def f_ell(value, mat):
+        B = ts.SparseTensor(
+            row=row, col=col, value=value, sparse_sizes=(M, N),
+            is_sorted=True, trust_data=True,
+        )
+        return jnp.vdot(ts.spmm_sum(B, mat), cot)
+
+    def f_seg(value, mat):
+        return jnp.vdot(_spmm_sum(M, row, col, value, mat), cot)
+
+    g_ell = jax.grad(f_ell, argnums=(0, 1))(value, mat)
+    g_seg = jax.grad(f_seg, argnums=(0, 1))(value, mat)
+    np.testing.assert_allclose(
+        np.asarray(g_ell[0]), np.asarray(g_seg[0]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_ell[1]), np.asarray(g_seg[1]), atol=1e-4
+    )
+
+
+def test_ell_mean_gradients():
+    M, N, E, K = 25, 25, 120, 4
+    A = _random_graph(M, N, E, seed=11)
+    rng = np.random.RandomState(4)
+    mat = jnp.asarray(rng.randn(N, K).astype(np.float32))
+
+    deg = np.maximum(np.asarray(A.storage.rowcount()), 1)
+    dense = np.asarray(A.to_dense())
+
+    def f(mat):
+        return jnp.sum(A.spmm(mat, "mean") ** 2)
+
+    out = A.spmm(mat, "mean")
+    ref = dense @ np.asarray(mat) / deg[:, None]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+    g = jax.grad(f)(mat)
+    g_ref = (dense / deg[:, None]).T @ (2 * ref)
+    np.testing.assert_allclose(np.asarray(g), g_ref, atol=1e-3)
+
+
+def test_ell_survives_jit_via_pytree():
+    M, N, E, K = 50, 50, 300, 8
+    A = _random_graph(M, N, E, seed=5)
+    A.storage.ell()
+    A.storage.ell_t()
+    mat = jnp.asarray(np.random.RandomState(6).randn(N, K).astype(np.float32))
+
+    @jax.jit
+    def f(A, mat):
+        return ts.spmm_sum(A, mat)
+
+    out = f(A, mat)
+    np.testing.assert_allclose(
+        np.asarray(out), _dense_oracle(A, mat), atol=1e-4
+    )
+
+
+def test_ell_set_value_keeps_structure():
+    M, N, E = 30, 30, 150
+    A = _random_graph(M, N, E, seed=9)
+    assert A.storage.ell() is not None
+    rng = np.random.RandomState(10)
+    B = A.set_value(jnp.asarray(rng.randn(A.nnz()).astype(np.float32)),
+                    layout="coo")
+    assert B.storage.has_ell()
+    mat = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(ts.spmm_sum(B, mat)), _dense_oracle(B, mat), atol=1e-4
+    )
+
+
+def test_build_ell_transpose_view():
+    M, N, E = 35, 28, 180
+    A = _random_graph(M, N, E, seed=13)
+    ell_t = A.storage.ell_t()
+    mat = jnp.asarray(np.random.RandomState(1).randn(M, 8).astype(np.float32))
+    out = ell_spmm(ell_t, A.storage.value(), mat)
+    ref = np.asarray(A.to_dense()).T @ np.asarray(mat)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_pallas_sorted_segment_reduce_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pytorch_sparse_tpu.ops.kernels.spmm_pallas import (
+        build_chunk_table, sorted_segment_reduce_matmul,
+    )
+
+    rng = np.random.RandomState(0)
+    M, E, K, TM, C = 500, 3000, 128, 128, 512
+    row = np.sort(rng.randint(0, M, E)).astype(np.int32)
+    h = rng.randn(E, K).astype(np.float32)
+    rowptr = np.zeros(M + 1, np.int64)
+    np.add.at(rowptr, row + 1, 1)
+    rowptr = np.cumsum(rowptr)
+    cb, ce, fi, nb, n_slots = build_chunk_table(rowptr, M, TM, C)
+    with pltpu.force_tpu_interpret_mode():
+        out = sorted_segment_reduce_matmul(
+            jnp.asarray(h), jnp.asarray(row), jnp.asarray(cb),
+            jnp.asarray(ce), jnp.asarray(fi), M, n_slots, TM, C,
+        )
+    ref = jax.ops.segment_sum(jnp.asarray(h), jnp.asarray(row), M)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
