@@ -33,12 +33,48 @@ import numpy as np
 # wider buckets use the 2-D-index gather + sum formulation.
 UNROLL_MAX = 64
 
-# Candidate bucket widths; extended by doubling for very dense rows.
-_BASE_CAPS = [1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256]
+# Maximum number of degree buckets (bounds compiled-program size).
+_MAX_BUCKETS = 14
 
 # Buckets holding fewer rows than this get merged into the next wider
 # bucket to bound compiled-program size.
 _MIN_BUCKET_ROWS = 64
+
+
+def _choose_caps(deg: np.ndarray, max_buckets: int = _MAX_BUCKETS):
+    """Bucket widths minimizing total padded slots.
+
+    Buckets are contiguous ranges of the sorted nonzero degrees; a range
+    ending at unique degree ``u_j`` costs ``u_j * (#rows in range)``.
+    Exact DP over unique degrees (O(U^2 B), U is small for real graphs).
+    """
+    deg = deg[deg > 0]
+    if deg.size == 0:
+        return []
+    uniq, counts = np.unique(deg, return_counts=True)
+    U = uniq.size
+    B = min(max_buckets, U)
+    csum = np.concatenate([[0], np.cumsum(counts)])  # rows up to group i
+    INF = float("inf")
+    # dp[b][j] = min padded slots covering groups [0, j) with b buckets.
+    dp = np.full((B + 1, U + 1), INF)
+    dp[0][0] = 0.0
+    choice = np.zeros((B + 1, U + 1), dtype=np.int64)
+    for b in range(1, B + 1):
+        for j in range(1, U + 1):
+            # last bucket covers groups [i, j), cap = uniq[j-1]
+            costs = dp[b - 1][:j] + uniq[j - 1] * (csum[j] - csum[:j])
+            i = int(np.argmin(costs))
+            dp[b][j] = costs[i]
+            choice[b][j] = i
+    b = int(np.argmin(dp[:, U]))
+    caps = []
+    j = U
+    while j > 0:
+        i = choice[b][j]
+        caps.append(int(uniq[j - 1]))
+        j, b = i, b - 1
+    return caps[::-1]
 
 
 class EllFormat:
@@ -98,17 +134,7 @@ def build_ell(
     E = idx.shape[0]
     eid = np.arange(E, dtype=np.int64) if eid is None else np.asarray(eid)
     deg = ptr[1:] - ptr[:-1]
-    max_deg = int(deg.max()) if M > 0 else 0
-
-    caps = [c for c in _BASE_CAPS if c < max_deg]
-    c = _BASE_CAPS[-1]
-    while c < max_deg:
-        c *= 2
-    if max_deg > 0:
-        caps.append(max(c, max_deg) if c > _BASE_CAPS[-1] else max_deg)
-    # Snap the final cap to exactly cover max_deg without waste.
-    if caps:
-        caps[-1] = max_deg
+    caps = _choose_caps(deg) if M > 0 else []
 
     order = np.argsort(deg, kind="stable")
     # Drop zero-degree rows from buckets; they become the zero block.
