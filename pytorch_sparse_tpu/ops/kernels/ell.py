@@ -84,16 +84,21 @@ class EllFormat:
       ``eids[b]``  (R_b, cap) int32 — edge id of each slot, ``E`` = padding
       ``idxs[b]``  (R_b, cap) int32 — gather index into the dense operand
                    (col for A, row for A^T), 0 on padding
+      ``rows[b]``  (R_b,) int32 — original row id of each bucket row
     ``inv_perm`` (M,) int32 maps original row id -> position in the
     bucket-concatenated output (zero-degree rows map to a trailing zero
-    block).
+    block).  ``edge_slot`` (E,) int32 maps edge id -> its slot in the
+    flattened concatenation of all buckets (for per-edge outputs computed
+    in ELL layout, e.g. grad_value).
     """
 
-    def __init__(self, eids, idxs, inv_perm, caps: Tuple[int, ...],
-                 E: int, M: int, n_zero: int):
+    def __init__(self, eids, idxs, rows, inv_perm, edge_slot,
+                 caps: Tuple[int, ...], E: int, M: int, n_zero: int):
         self.eids = tuple(eids)
         self.idxs = tuple(idxs)
+        self.rows = tuple(rows)
         self.inv_perm = inv_perm
+        self.edge_slot = edge_slot
         self.caps = tuple(caps)
         self.E = E
         self.M = M
@@ -108,13 +113,17 @@ class EllFormat:
 
 
 def _ell_flatten(f: EllFormat):
-    return (f.eids, f.idxs, f.inv_perm), (f.caps, f.E, f.M, f.n_zero)
+    return (
+        (f.eids, f.idxs, f.rows, f.inv_perm, f.edge_slot),
+        (f.caps, f.E, f.M, f.n_zero),
+    )
 
 
 def _ell_unflatten(aux, children):
-    eids, idxs, inv_perm = children
+    eids, idxs, rows, inv_perm, edge_slot = children
     caps, E, M, n_zero = aux
-    return EllFormat(eids, idxs, inv_perm, caps, E, M, n_zero)
+    return EllFormat(eids, idxs, rows, inv_perm, edge_slot, caps, E, M,
+                     n_zero)
 
 
 jax.tree_util.register_pytree_node(EllFormat, _ell_flatten, _ell_unflatten)
@@ -145,9 +154,12 @@ def build_ell(
     # under-populated buckets upward.
     eids_list: List[np.ndarray] = []
     idxs_list: List[np.ndarray] = []
+    rows_list: List[np.ndarray] = []
     used_caps: List[int] = []
     perm_parts: List[np.ndarray] = []
     pending: List[np.ndarray] = []
+    edge_slot = np.zeros(E, dtype=np.int64)
+    slot_base = 0
     for bi, cap in enumerate(caps):
         lo = caps[bi - 1] if bi > 0 else 0
         sel = nz_order[(deg[nz_order] > lo) & (deg[nz_order] <= cap)]
@@ -168,10 +180,13 @@ def build_ell(
             p = (starts + j)[m]
             e_tab[m, j] = eid[p]
             i_tab[m, j] = idx[p]
+            edge_slot[eid[p]] = slot_base + np.nonzero(m)[0] * cap + j
         eids_list.append(e_tab.astype(np.int32))
         idxs_list.append(i_tab.astype(np.int32))
+        rows_list.append(rows.astype(np.int32))
         used_caps.append(cap)
         perm_parts.append(rows)
+        slot_base += R * cap
 
     perm = np.concatenate(
         perm_parts + [order[deg[order] == 0]]
@@ -182,7 +197,9 @@ def build_ell(
     return EllFormat(
         [jnp.asarray(e) for e in eids_list],
         [jnp.asarray(i) for i in idxs_list],
+        [jnp.asarray(r) for r in rows_list],
         jnp.asarray(inv.astype(np.int32)),
+        jnp.asarray(edge_slot.astype(np.int32)),
         tuple(used_caps), E, M, n_zero,
     )
 
@@ -232,3 +249,71 @@ def ell_spmm(
         return jnp.zeros((ell.M, K), mat.dtype)
     stacked = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return jnp.take(stacked, ell.inv_perm, axis=0)
+
+
+def ell_edge_dot(
+    ell: EllFormat, mat: jnp.ndarray, grad: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-edge dot ``out[e] = <mat[idx[e]], grad[row[e]]>`` in ELL layout.
+
+    This is the ``grad_value`` pass of SpMM-sum
+    (``cpu/spmm_cpu.cpp:103-152``); computing it here gathers ``grad``
+    once per bucket *row* instead of once per edge, halving random-read
+    traffic vs the per-edge two-gather formulation.
+    """
+    parts = []
+    for idx, rows in zip(ell.idxs, ell.rows):
+        h = jnp.take(mat, idx, axis=0)            # (R, cap, K)
+        g = jnp.take(grad, rows, axis=0)          # (R, K)
+        parts.append(jnp.einsum("rck,rk->rc", h, g).reshape(-1))
+    if not parts:
+        return jnp.zeros((0,), mat.dtype)
+    flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return jnp.take(flat, ell.edge_slot, axis=0)
+
+
+def ell_spmm_minmax(
+    ell: EllFormat,
+    value: Optional[jnp.ndarray],
+    mat: jnp.ndarray,
+    is_min: bool,
+):
+    """Scatter-free min/max SpMM with the reference argout contract:
+    per (row, k), the *first* CSR-order edge achieving the extremum;
+    empty rows produce 0 with the out-of-range sentinel ``arg == E``
+    (``csrc/spmm.cpp:204-303``, ``reducer.h:70-73``)."""
+    K = mat.shape[1]
+    if value is not None:
+        value_pad = jnp.concatenate([value, jnp.zeros((1,), value.dtype)])
+    big = jnp.asarray(
+        jnp.inf if is_min else -jnp.inf, mat.dtype
+    )
+    outs, args = [], []
+    for eids, idx in zip(ell.eids, ell.idxs):
+        h = jnp.take(mat, idx, axis=0)            # (R, cap, K)
+        if value is not None:
+            vals = jnp.take(value_pad, eids, axis=0).astype(mat.dtype)
+            h = h * vals[..., None]
+        mask = (eids < ell.E)[..., None]
+        h = jnp.where(mask, h, big)
+        if is_min:
+            slot = jnp.argmin(h, axis=1)          # first occurrence
+            outs.append(jnp.min(h, axis=1))
+        else:
+            slot = jnp.argmax(h, axis=1)
+            outs.append(jnp.max(h, axis=1))
+        args.append(
+            jnp.take_along_axis(eids, slot.astype(eids.dtype), axis=1)
+        )
+    if ell.n_zero:
+        outs.append(jnp.zeros((ell.n_zero, K), mat.dtype))
+        args.append(jnp.full((ell.n_zero, K), ell.E, jnp.int32))
+    if not outs:
+        return (jnp.zeros((ell.M, K), mat.dtype),
+                jnp.full((ell.M, K), ell.E, jnp.int32))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    arg = args[0] if len(args) == 1 else jnp.concatenate(args, axis=0)
+    return (
+        jnp.take(out, ell.inv_perm, axis=0),
+        jnp.take(arg, ell.inv_perm, axis=0),
+    )

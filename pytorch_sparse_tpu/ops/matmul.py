@@ -36,7 +36,7 @@ from jax import dtypes
 
 from ..storage import SparseStorage
 from ..tensor import SparseTensor
-from .kernels.ell import ell_spmm
+from .kernels.ell import ell_edge_dot, ell_spmm, ell_spmm_minmax
 from .segment import segment_count, segment_mean, segment_min, segment_max, segment_sum
 
 
@@ -214,9 +214,7 @@ def _ell_spmm_sum_bwd(res, grad):
     ellA, ellAT, row, col, value, mat = res
     grad_value = None
     if value is not None:
-        grad_value = jnp.sum(
-            jnp.take(mat, col, axis=0) * jnp.take(grad, row, axis=0), axis=-1
-        ).astype(value.dtype)
+        grad_value = ell_edge_dot(ellA, mat, grad).astype(value.dtype)
     grad_mat = ell_spmm(ellAT, value, grad).astype(mat.dtype)
     zeros = partial(jax.tree_util.tree_map, _int_zero)
     return (
@@ -226,6 +224,31 @@ def _ell_spmm_sum_bwd(res, grad):
 
 
 _ell_spmm_sum.defvjp(_ell_spmm_sum_fwd, _ell_spmm_sum_bwd)
+
+
+# min/max: scatter-free ELL forward with the reference argout contract;
+# the backward routes gradients through the saved argout exactly like
+# csrc/spmm.cpp:204-303 (shared with the segment path).
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ell_spmm_min(is_min: bool, ellA, row, col, value, mat):
+    return ell_spmm_minmax(ellA, value, mat, is_min)
+
+
+def _ell_spmm_min_fwd(is_min, ellA, row, col, value, mat):
+    out, arg = ell_spmm_minmax(ellA, value, mat, is_min)
+    return (out, arg), (ellA, row, col, value, mat, arg)
+
+
+def _ell_spmm_min_bwd(is_min, res, grads):
+    ellA, row, col, value, mat, arg = res
+    grad, _ = grads
+    grad_value, grad_mat = _minmax_bwd_common(row, col, value, mat, arg, grad)
+    zeros = partial(jax.tree_util.tree_map, _int_zero)
+    return (zeros(ellA), _int_zero(row), _int_zero(col), grad_value, grad_mat)
+
+
+_ell_spmm_min.defvjp(_ell_spmm_min_fwd, _ell_spmm_min_bwd)
 
 
 def _ell_views(src: SparseTensor):
@@ -285,20 +308,28 @@ def spmm_mean(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda m: _spmm_mean(M, row, col, value, m))(other)
 
 
-def spmm_min(src: SparseTensor, other: jnp.ndarray):
+def _spmm_minmax_dispatch(src, other, is_min):
     row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
     M = src.sparse_size(0)
+    ellA = src.storage.ell()
+    if ellA is not None:
+        if other.ndim == 2:
+            return _ell_spmm_min(is_min, ellA, row, col, value, other)
+        return jax.vmap(
+            lambda m: _ell_spmm_min(is_min, ellA, row, col, value, m)
+        )(other)
+    fn = _spmm_min if is_min else _spmm_max
     if other.ndim == 2:
-        return _spmm_min(M, row, col, value, other)
-    return jax.vmap(lambda m: _spmm_min(M, row, col, value, m))(other)
+        return fn(M, row, col, value, other)
+    return jax.vmap(lambda m: fn(M, row, col, value, m))(other)
+
+
+def spmm_min(src: SparseTensor, other: jnp.ndarray):
+    return _spmm_minmax_dispatch(src, other, True)
 
 
 def spmm_max(src: SparseTensor, other: jnp.ndarray):
-    row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
-    M = src.sparse_size(0)
-    if other.ndim == 2:
-        return _spmm_max(M, row, col, value, other)
-    return jax.vmap(lambda m: _spmm_max(M, row, col, value, m))(other)
+    return _spmm_minmax_dispatch(src, other, False)
 
 
 def spmm(src: SparseTensor, other: jnp.ndarray, reduce: str = "sum"):

@@ -175,3 +175,44 @@ def test_pallas_sorted_segment_reduce_interpret():
         )
     ref = jax.ops.segment_sum(jnp.asarray(h), jnp.asarray(row), M)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("reduce", ["min", "max"])
+def test_ell_minmax_matches_segment_path(reduce):
+    from pytorch_sparse_tpu.ops.matmul import _spmm_min, _spmm_max
+
+    M, N, E, K = 45, 35, 220, 8
+    A = _random_graph(M, N, E, seed=21)
+    rng = np.random.RandomState(3)
+    mat = jnp.asarray(rng.randn(N, K).astype(np.float32))
+    cot = jnp.asarray(rng.randn(M, K).astype(np.float32))
+
+    row, col = A.storage.row(), A.storage.col()
+    value = A.storage.value()
+    seg_fn = _spmm_min if reduce == "min" else _spmm_max
+
+    out_ell, arg_ell = (ts.spmm_min if reduce == "min" else ts.spmm_max)(
+        A, mat
+    )
+    out_seg, arg_seg = seg_fn(M, row, col, value, mat)
+    np.testing.assert_allclose(
+        np.asarray(out_ell), np.asarray(out_seg), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(arg_ell), np.asarray(arg_seg))
+
+    def f_ell(value, mat):
+        B = ts.SparseTensor(row=row, col=col, value=value,
+                            sparse_sizes=(M, N), is_sorted=True,
+                            trust_data=True)
+        out = (ts.spmm_min if reduce == "min" else ts.spmm_max)(B, mat)[0]
+        return jnp.vdot(out, cot)
+
+    def f_seg(value, mat):
+        return jnp.vdot(seg_fn(M, row, col, value, mat)[0], cot)
+
+    g_ell = jax.grad(f_ell, argnums=(0, 1))(value, mat)
+    g_seg = jax.grad(f_seg, argnums=(0, 1))(value, mat)
+    np.testing.assert_allclose(np.asarray(g_ell[0]), np.asarray(g_seg[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_ell[1]), np.asarray(g_seg[1]),
+                               atol=1e-5)
