@@ -20,9 +20,10 @@ from .ops import (  # noqa
     to_jax_sparse, from_jax_sparse, to_torch_sparse, from_torch_sparse,
     to_scipy, from_scipy,
     add, add_, add_nnz, add_nnz_, mul, mul_, mul_nnz, mul_nnz_,
-    reduction, non_diag_mask, remove_diag, set_diag, fill_diag, get_diag,
+    reduction, sum, mean, min, max,
+    non_diag_mask, remove_diag, set_diag, fill_diag, get_diag,
     index_select, index_select_nnz, masked_select, masked_select_nnz,
-    narrow, select, cat, permute, reverse_cuthill_mckee,
+    narrow, __narrow_diag__, select, cat, permute, reverse_cuthill_mckee,
 )
 from .utils import ind2ptr, ptr2ind, index_sort  # noqa
 
@@ -66,6 +67,11 @@ __all__ = [
     "mul_nnz",
     "mul_nnz_",
     "reduction",
+    "sum",
+    "mean",
+    "min",
+    "max",
+    "__narrow_diag__",
     "non_diag_mask",
     "remove_diag",
     "set_diag",

@@ -354,11 +354,15 @@ def spmm(src: SparseTensor, other: jnp.ndarray, reduce: str = "sum"):
 def _spspmm_structure(A: SparseTensor, B: SparseTensor):
     """Expansion-pass structure: for each A-nnz (i, k), enumerate B's row k.
 
-    Returns (a_pos, b_pos, out_row_raw, out_col_raw) — the gather indices of
-    the expanded product terms — plus the coalesced output structure
-    (seg ids mapping each expanded term to its output nnz).  Runs eagerly on
-    concrete index arrays (data-dependent output size).
+    Returns the gather indices of the expanded product terms (``a_pos``,
+    ``b_pos``), the coalesced output structure (``rowC``/``colC``), and a
+    term-count-bucketed reduction plan (``t_tabs``/``out_order``) so the
+    numeric pass is scatter-free on TPU: each output nnz sums its
+    contiguous run of terms via take + row-sum over fixed-width buckets.
+    Runs eagerly on concrete index arrays (data-dependent output size).
     """
+    from .kernels.ell import _choose_caps
+
     rowA, colA = np.asarray(A.storage.row()), np.asarray(A.storage.col())
     rowptrB = np.asarray(B.storage.rowptr())
     colB = np.asarray(B.storage.col())
@@ -389,9 +393,35 @@ def _spspmm_structure(A: SparseTensor, B: SparseTensor):
     n_out = int(seg[-1]) + 1 if total > 0 else 0
     rowC = out_row[new]
     colC = out_col[new]
+
+    # Scatter-free reduction plan: bucket output nnz by term count.
+    t_start = np.flatnonzero(new)
+    t_cnt = np.diff(np.concatenate([t_start, [total]]))
+    caps = _choose_caps(t_cnt)
+    by_cnt = np.argsort(t_cnt, kind="stable")
+    t_tabs = []
+    parts = []
+    for bi, cap in enumerate(caps):
+        lo = caps[bi - 1] if bi > 0 else 0
+        sel = by_cnt[(t_cnt[by_cnt] > lo) & (t_cnt[by_cnt] <= cap)]
+        if sel.size == 0:
+            continue
+        R = sel.size
+        tab = np.full((R, cap), total, dtype=np.int64)  # sentinel pad
+        for j in range(cap):
+            m = j < t_cnt[sel]
+            tab[m, j] = t_start[sel][m] + j
+        t_tabs.append(jnp.asarray(tab.astype(np.int32)))
+        parts.append(sel)
+    out_perm = (
+        np.concatenate(parts) if parts else np.zeros((0,), np.int64)
+    )
+    inv = np.empty(n_out, np.int64)
+    inv[out_perm] = np.arange(n_out)
+
     return (
         jnp.asarray(a_pos, jnp.int32), jnp.asarray(b_pos, jnp.int32),
-        jnp.asarray(seg, jnp.int32), n_out,
+        t_tabs, jnp.asarray(inv.astype(np.int32)), n_out,
         jnp.asarray(rowC, jnp.int32), jnp.asarray(colC, jnp.int32),
     )
 
@@ -399,7 +429,7 @@ def _spspmm_structure(A: SparseTensor, B: SparseTensor):
 def spspmm_sum(A: SparseTensor, B: SparseTensor) -> SparseTensor:
     assert A.sparse_size(1) == B.sparse_size(0)
     M, P = A.sparse_size(0), B.sparse_size(1)
-    a_pos, b_pos, seg, n_out, rowC, colC = _spspmm_structure(A, B)
+    a_pos, b_pos, t_tabs, inv, n_out, rowC, colC = _spspmm_structure(A, B)
 
     valueA, valueB = A.storage.value(), B.storage.value()
     valueC: Optional[jnp.ndarray] = None
@@ -409,7 +439,16 @@ def spspmm_sum(A: SparseTensor, B: SparseTensor) -> SparseTensor:
         if valueB is None:
             valueB = jnp.ones((B.nnz(),), dtype=valueA.dtype)
         terms = valueA[a_pos] * valueB[b_pos]
-        valueC = segment_sum(terms, seg, n_out, indices_are_sorted=True)
+        terms_pad = jnp.concatenate([terms, jnp.zeros((1,), terms.dtype)])
+        parts = [
+            jnp.sum(jnp.take(terms_pad, tab, axis=0), axis=1)
+            for tab in t_tabs
+        ]
+        if parts:
+            stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            valueC = jnp.take(stacked, inv, axis=0)
+        else:
+            valueC = jnp.zeros((n_out,), terms.dtype)
 
     return SparseTensor(
         row=rowC, col=colC, value=valueC, sparse_sizes=(M, P),
