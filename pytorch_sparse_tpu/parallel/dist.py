@@ -19,12 +19,19 @@ Two SpMM schedules:
 Edges live in fixed-shape padded buckets so every schedule is a static-shape
 ``shard_map`` program: bucket ``(p, q)`` holds shard ``p``'s edges whose
 column falls in block ``q``, padded with zero-valued self-edges.
+
+Local compute is scatter-free: each bucket additionally carries
+degree-bucketed ELLPACK tables (shared static shapes across all shards so
+the ``shard_map`` program stays SPMD-uniform), turning the per-step
+reduction into take + fixed-width row sums + one permutation gather —
+the same formulation as the single-chip fast path (ops/kernels/ell.py),
+which beats XLA's scatter lowering ~3x on TPU.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +39,6 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..segment import segment_sum
 from ..tensor import SparseTensor
 from .mesh import data_axis
 
@@ -41,30 +47,128 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _build_group_ell(
+    groups: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    Mb: int,
+    max_buckets: int = 6,
+):
+    """Shared-shape ELLPACK tables for a list of edge groups.
+
+    Each group is ``(local_row, local_col, value)``.  Returns
+    ``(itabs, vtabs, invs, caps)`` where ``itabs[k]`` has shape
+    ``(G, R_k, caps[k])`` (gather index into the dense block, 0 on pad),
+    ``vtabs[k]`` matches with 0-valued padding, and ``invs`` has shape
+    ``(G, Mb)`` mapping each local row to its slot in the concatenated
+    per-group row stack (sentinel = total stack length for rows with no
+    edges).  Shapes are identical for every group, so the arrays can be
+    sharded on the leading axis and consumed uniformly under shard_map.
+    """
+    from ..ops.kernels.ell import _choose_caps
+
+    G = len(groups)
+    degs = []
+    for r, _, _ in groups:
+        degs.append(np.bincount(r, minlength=Mb))
+    all_deg = np.concatenate([d[d > 0] for d in degs]) if G else np.zeros(0)
+    caps = _choose_caps(all_deg, max_buckets=max_buckets)
+    if not caps:
+        caps = [1]
+
+    # Common per-bucket row capacity = max over groups.
+    R = [0] * len(caps)
+    sel_rows = []  # per group, per bucket: row ids
+    for g in range(G):
+        d = degs[g]
+        rows_by_deg = np.argsort(d, kind="stable")
+        per_bucket = []
+        for bi, cap in enumerate(caps):
+            lo = caps[bi - 1] if bi > 0 else 0
+            sel = rows_by_deg[(d[rows_by_deg] > lo) & (d[rows_by_deg] <= cap)]
+            per_bucket.append(sel)
+            R[bi] = max(R[bi], sel.size)
+        sel_rows.append(per_bucket)
+
+    L = sum(R[k] for k in range(len(caps)))  # stacked rows per group
+    itabs = [np.zeros((G, R[k], caps[k]), np.int32) for k in range(len(caps))]
+    vtabs = [np.zeros((G, R[k], caps[k]), np.float32)
+             for k in range(len(caps))]
+    invs = np.full((G, Mb), L, np.int32)  # sentinel -> zero row
+
+    for g, (r, c, v) in enumerate(groups):
+        order = np.argsort(r, kind="stable")
+        r_s, c_s, v_s = r[order], c[order], v[order]
+        starts = np.zeros(Mb + 1, np.int64)
+        np.add.at(starts, r_s + 1, 1)
+        starts = np.cumsum(starts)
+        base = 0
+        for k, cap in enumerate(caps):
+            rows = sel_rows[g][k]
+            if rows.size:
+                st = starts[rows]
+                ln = starts[rows + 1] - st
+                for j in range(cap):
+                    m = j < ln
+                    p = (st + j)[m]
+                    ii = np.nonzero(m)[0]
+                    itabs[k][g, ii, j] = c_s[p]
+                    vtabs[k][g, ii, j] = v_s[p]
+                invs[g, rows] = base + np.arange(rows.size)
+            base += R[k]
+    return (
+        [jnp.asarray(t) for t in itabs],
+        [jnp.asarray(t) for t in vtabs],
+        jnp.asarray(invs),
+        caps,
+    )
+
+
+def _group_ell_apply(itabs, vtabs, inv, x):
+    """out[r] = sum_j vtab[r, j] * x[itab[r, j]] for one group's tables.
+
+    ``itabs[k]`` (R_k, cap), ``inv`` (Mb,).  Returns (Mb, K).
+    """
+    parts = []
+    for itab, vtab in zip(itabs, vtabs):
+        if itab.shape[0] == 0:
+            continue
+        h = jnp.take(x, itab, axis=0)            # (R, cap, K)
+        parts.append(jnp.sum(h * vtab[..., None].astype(h.dtype), axis=1))
+    K = x.shape[1]
+    if parts:
+        stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    else:
+        stacked = jnp.zeros((0, K), x.dtype)
+    stacked = jnp.concatenate([stacked, jnp.zeros((1, K), x.dtype)])
+    return jnp.take(stacked, inv, axis=0)
+
+
 class ShardedSparseMatrix:
     """A row-partitioned sparse matrix resident across a 1-D mesh.
 
-    Arrays (all padded, leading dim sharded over the mesh axis):
-      bucket_row   (P, P, Eb) int32 -- row index local to the owning shard
-      bucket_col   (P, P, Eb) int32 -- col index local to the column block
-      bucket_value (P, P, Eb) float -- value (0 on padding)
-      flat_row / flat_col / flat_value (P, Ef) -- per-shard edge list with
-          *global* columns, for the all-gather schedule.
+    Edge data is stored as shared-shape ELLPACK tables (leading dim
+    sharded over the mesh axis):
+
+      ring tables  — one edge group per (shard p, column block q):
+        ``ring_itabs[k]`` (P, P, R_k, cap_k) local col index into block q
+        ``ring_vtabs[k]`` (P, P, R_k, cap_k) value (0 on padding)
+        ``ring_inv``      (P, P, Mb)         local row -> stacked slot
+      flat tables  — one group per shard, *global* columns, for the
+        all-gather schedule: ``flat_itabs[k]`` (P, R_k, cap_k), etc.
     """
 
     def __init__(self, mesh: Mesh, M: int, N: int, Mb: int, Nb: int,
-                 bucket_row, bucket_col, bucket_value,
-                 flat_row, flat_col, flat_value):
+                 ring_itabs, ring_vtabs, ring_inv,
+                 flat_itabs, flat_vtabs, flat_inv):
         self.mesh = mesh
         self.M, self.N = M, N
         self.Mb, self.Nb = Mb, Nb
         self.P = mesh.devices.size
-        self.bucket_row = bucket_row
-        self.bucket_col = bucket_col
-        self.bucket_value = bucket_value
-        self.flat_row = flat_row
-        self.flat_col = flat_col
-        self.flat_value = flat_value
+        self.ring_itabs = tuple(ring_itabs)
+        self.ring_vtabs = tuple(ring_vtabs)
+        self.ring_inv = ring_inv
+        self.flat_itabs = tuple(flat_itabs)
+        self.flat_vtabs = tuple(flat_vtabs)
+        self.flat_inv = flat_inv
 
     @classmethod
     def from_sparse_tensor(
@@ -84,7 +188,7 @@ class ShardedSparseMatrix:
         col = np.asarray(A.storage.col())
         value = A.storage.value()
         value_np = (
-            np.asarray(value)
+            np.asarray(value).astype(np.float32)
             if value is not None
             else np.ones(row.shape, np.float32)
         )
@@ -92,45 +196,43 @@ class ShardedSparseMatrix:
         owner = row // Mb
         block = col // Nb
 
-        # --- flat per-shard lists (all-gather schedule)
-        flat_counts = np.bincount(owner, minlength=Pn)
-        Ef = max(int(flat_counts.max()), 1)
-        flat_row = np.zeros((Pn, Ef), np.int32)
-        flat_col = np.zeros((Pn, Ef), np.int32)
-        flat_value = np.zeros((Pn, Ef), value_np.dtype)
+        # --- flat per-shard groups (all-gather schedule; global cols)
+        flat_groups = []
         for p in range(Pn):
             sel = owner == p
-            n = int(sel.sum())
-            flat_row[p, :n] = row[sel] - p * Mb
-            flat_col[p, :n] = col[sel]
-            flat_value[p, :n] = value_np[sel]
+            flat_groups.append((row[sel] - p * Mb, col[sel], value_np[sel]))
+        flat_itabs, flat_vtabs, flat_inv, _ = _build_group_ell(
+            flat_groups, Mb
+        )
 
-        # --- (shard, block) buckets (ring schedule)
-        pair_counts = np.zeros((Pn, Pn), np.int64)
-        np.add.at(pair_counts, (owner, block), 1)
-        Eb = max(int(pair_counts.max()), 1)
-        bucket_row = np.zeros((Pn, Pn, Eb), np.int32)
-        bucket_col = np.zeros((Pn, Pn, Eb), np.int32)
-        bucket_value = np.zeros((Pn, Pn, Eb), value_np.dtype)
+        # --- (shard, block) groups (ring schedule; block-local cols)
+        ring_groups = []
         for p in range(Pn):
             selp = owner == p
             for q in range(Pn):
                 sel = selp & (block == q)
-                n = int(sel.sum())
-                bucket_row[p, q, :n] = row[sel] - p * Mb
-                bucket_col[p, q, :n] = col[sel] - q * Nb
-                bucket_value[p, q, :n] = value_np[sel]
+                ring_groups.append(
+                    (row[sel] - p * Mb, col[sel] - q * Nb, value_np[sel])
+                )
+        ring_itabs, ring_vtabs, ring_inv, _ = _build_group_ell(
+            ring_groups, Mb
+        )
+        # (G=P*P, ...) -> (P, P, ...), leading dim sharded.
+        ring_itabs = [t.reshape(Pn, Pn, *t.shape[1:]) for t in ring_itabs]
+        ring_vtabs = [t.reshape(Pn, Pn, *t.shape[1:]) for t in ring_vtabs]
+        ring_inv = ring_inv.reshape(Pn, Pn, Mb)
 
-        shard3 = NamedSharding(mesh, P(data_axis, None, None))
-        shard2 = NamedSharding(mesh, P(data_axis, None))
+        def put(x):
+            ndim = x.ndim
+            spec = P(data_axis, *([None] * (ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
         return cls(
             mesh, M, N, Mb, Nb,
-            jax.device_put(bucket_row, shard3),
-            jax.device_put(bucket_col, shard3),
-            jax.device_put(bucket_value, shard3),
-            jax.device_put(flat_row, shard2),
-            jax.device_put(flat_col, shard2),
-            jax.device_put(flat_value, shard2),
+            [put(t) for t in ring_itabs], [put(t) for t in ring_vtabs],
+            put(ring_inv),
+            [put(t) for t in flat_itabs], [put(t) for t in flat_vtabs],
+            put(flat_inv),
         )
 
     # ------------------------------------------------------------------
@@ -152,8 +254,8 @@ class ShardedSparseMatrix:
 
 def _shmat_flatten(s: ShardedSparseMatrix):
     children = (
-        s.bucket_row, s.bucket_col, s.bucket_value,
-        s.flat_row, s.flat_col, s.flat_value,
+        s.ring_itabs, s.ring_vtabs, s.ring_inv,
+        s.flat_itabs, s.flat_vtabs, s.flat_inv,
     )
     return children, (s.mesh, s.M, s.N, s.Mb, s.Nb)
 
@@ -168,15 +270,15 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _allgather_local(Mb, flat_row, flat_col, flat_value, x_local):
+def _allgather_local(itabs, vtabs, inv, x_local):
     x_full = lax.all_gather(x_local[0], data_axis, tiled=True)  # (N_pad, K)
-    h = jnp.take(x_full, flat_col[0], axis=0)
-    h = h * flat_value[0][:, None].astype(h.dtype)
-    out = segment_sum(h, flat_row[0], Mb)
+    out = _group_ell_apply(
+        [t[0] for t in itabs], [t[0] for t in vtabs], inv[0], x_full
+    )
     return out[None]
 
 
-def _ring_local(Mb, Pn, bucket_row, bucket_col, bucket_value, x_local):
+def _ring_local(Mb, Pn, itabs, vtabs, inv, x_local):
     me = lax.axis_index(data_axis)
     xblk = x_local[0]  # (Nb, K)
     K = xblk.shape[1]
@@ -188,11 +290,10 @@ def _ring_local(Mb, Pn, bucket_row, bucket_col, bucket_value, x_local):
     def step(s, carry):
         out, xblk = carry
         owner = (me + s) % Pn
-        r = jnp.take(bucket_row[0], owner, axis=0)
-        c = jnp.take(bucket_col[0], owner, axis=0)
-        v = jnp.take(bucket_value[0], owner, axis=0)
-        h = jnp.take(xblk, c, axis=0) * v[:, None].astype(xblk.dtype)
-        out = out + segment_sum(h, r, Mb)
+        g_itabs = [jnp.take(t[0], owner, axis=0) for t in itabs]
+        g_vtabs = [jnp.take(t[0], owner, axis=0) for t in vtabs]
+        g_inv = jnp.take(inv[0], owner, axis=0)
+        out = out + _group_ell_apply(g_itabs, g_vtabs, g_inv, xblk)
         # Rotate: i receives from (i+1), so after s steps we hold block
         # (me + s) % P -- the transfer for step s+1 overlaps this compute.
         xblk = lax.ppermute(
@@ -209,32 +310,39 @@ def dist_spmm_allgather(
     A: ShardedSparseMatrix, x_sharded: jnp.ndarray
 ) -> jnp.ndarray:
     """x_sharded: (P, Nb, K) from :meth:`shard_dense`. Returns (P, Mb, K)."""
+    spec3 = P(data_axis, None, None)
     fn = jax.shard_map(
-        partial(_allgather_local, A.Mb),
+        _allgather_local,
         mesh=A.mesh,
         in_specs=(
-            P(data_axis, None), P(data_axis, None), P(data_axis, None),
-            P(data_axis, None, None),
+            tuple(spec3 for _ in A.flat_itabs),
+            tuple(spec3 for _ in A.flat_vtabs),
+            P(data_axis, None),
+            spec3,
         ),
-        out_specs=P(data_axis, None, None),
+        out_specs=spec3,
     )
-    return fn(A.flat_row, A.flat_col, A.flat_value, x_sharded)
+    return fn(A.flat_itabs, A.flat_vtabs, A.flat_inv, x_sharded)
 
 
 def dist_spmm_ring(
     A: ShardedSparseMatrix, x_sharded: jnp.ndarray
 ) -> jnp.ndarray:
     """Ring-rotated SpMM with overlapped halo exchange. Returns (P, Mb, K)."""
+    spec3 = P(data_axis, None, None)
+    spec4 = P(data_axis, None, None, None)
     fn = jax.shard_map(
         partial(_ring_local, A.Mb, A.P),
         mesh=A.mesh,
         in_specs=(
-            P(data_axis, None, None), P(data_axis, None, None),
-            P(data_axis, None, None), P(data_axis, None, None),
+            tuple(spec4 for _ in A.ring_itabs),
+            tuple(spec4 for _ in A.ring_vtabs),
+            spec3,
+            spec3,
         ),
-        out_specs=P(data_axis, None, None),
+        out_specs=spec3,
     )
-    return fn(A.bucket_row, A.bucket_col, A.bucket_value, x_sharded)
+    return fn(A.ring_itabs, A.ring_vtabs, A.ring_inv, x_sharded)
 
 
 def dist_spmm(

@@ -47,18 +47,19 @@ def test_dist_spmm_grads(mesh):
     Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh)
     xs = Ash.shard_dense(x)
 
-    def loss(values, xs):
+    def loss(vtabs, xs):
         A2 = ShardedSparseMatrix(
             Ash.mesh, Ash.M, Ash.N, Ash.Mb, Ash.Nb,
-            Ash.bucket_row, Ash.bucket_col, values,
-            Ash.flat_row, Ash.flat_col, Ash.flat_value,
+            Ash.ring_itabs, vtabs, Ash.ring_inv,
+            Ash.flat_itabs, Ash.flat_vtabs, Ash.flat_inv,
         )
         return (dist_spmm(A2, xs, "ring") ** 2).sum()
 
     g_val, g_x = jax.jit(jax.grad(loss, argnums=(0, 1)))(
-        Ash.bucket_value, xs
+        Ash.ring_vtabs, xs
     )
-    assert bool(jnp.isfinite(g_val).all()) and bool(jnp.isfinite(g_x).all())
+    assert all(bool(jnp.isfinite(g).all()) for g in g_val)
+    assert bool(jnp.isfinite(g_x).all())
 
     # Oracle: dense autodiff on the gathered operand.
     def dense_loss(x):
