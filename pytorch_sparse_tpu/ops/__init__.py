@@ -34,3 +34,6 @@ from .select import select  # noqa
 from .cat import cat, cat_first, cat_second, cat_diag  # noqa
 from .permute import permute  # noqa
 from .bandwidth import reverse_cuthill_mckee  # noqa
+
+# Reference-API parity methods (dtype/device/memory/torch interop).
+from . import torch_compat  # noqa
