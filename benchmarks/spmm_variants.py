@@ -13,12 +13,16 @@ Variants:
 """
 
 import argparse
-import time
+import os
+import sys
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_graph(M, E, seed=0, power=1.1):
@@ -88,11 +92,31 @@ def spmm_cumsum(row, col, value, mat, M):
     return csum[rowptr[1:]] - csum[rowptr[:-1]]
 
 
+_ELL_CACHE = {}
+
+
+def spmm_ell(row, col, value, mat, M):
+    """The production fast path: degree-bucketed ELLPACK via SparseTensor."""
+    import pytorch_sparse_tpu as ts
+
+    key = (id(row), id(col), M)
+    A = _ELL_CACHE.get(key)
+    if A is None:
+        A = ts.SparseTensor(
+            row=row, col=col, value=value, sparse_sizes=(M, M),
+            is_sorted=True, trust_data=True,
+        )
+        A.storage.ell()
+        _ELL_CACHE[key] = A
+    return ts.spmm_sum(A, mat)
+
+
 VARIANTS = {
     "scatter": spmm_scatter,
     "segment": spmm_segment,
     "onehot": spmm_onehot,
     "cumsum": spmm_cumsum,
+    "ell": spmm_ell,
 }
 
 

@@ -36,9 +36,14 @@ UNROLL_MAX = 64
 # Maximum number of degree buckets (bounds compiled-program size).
 _MAX_BUCKETS = 14
 
-# Buckets holding fewer rows than this get merged into the next wider
-# bucket to bound compiled-program size.
-_MIN_BUCKET_ROWS = 64
+# Wide buckets sum their slots in column chunks sized so the
+# (R, chunk, K) gather intermediate stays near this element budget
+# (power-law max degrees can reach into the millions).
+_CHUNK_ELEMS = 16_000_000
+
+
+def _chunk_cols(R: int, cap: int, K: int) -> int:
+    return max(1, min(cap, _CHUNK_ELEMS // max(R * K, 1)))
 
 
 def _choose_caps(deg: np.ndarray, max_buckets: int = _MAX_BUCKETS):
@@ -150,24 +155,19 @@ def build_ell(
     nz_order = order[deg[order] > 0]
     n_zero = M - nz_order.shape[0]
 
-    # Assign each row to the narrowest cap >= its degree, then merge
-    # under-populated buckets upward.
+    # Assign each row to its DP-chosen bucket (the DP objective already
+    # minimizes padded slots; never merge upward — on power-law degree
+    # distributions that multiplies small row counts into huge caps).
     eids_list: List[np.ndarray] = []
     idxs_list: List[np.ndarray] = []
     rows_list: List[np.ndarray] = []
     used_caps: List[int] = []
     perm_parts: List[np.ndarray] = []
-    pending: List[np.ndarray] = []
     edge_slot = np.zeros(E, dtype=np.int64)
     slot_base = 0
     for bi, cap in enumerate(caps):
         lo = caps[bi - 1] if bi > 0 else 0
-        sel = nz_order[(deg[nz_order] > lo) & (deg[nz_order] <= cap)]
-        pending.append(sel)
-        rows = np.concatenate(pending) if len(pending) > 1 else sel
-        if rows.shape[0] < _MIN_BUCKET_ROWS and bi + 1 < len(caps):
-            continue  # merge into the next bucket
-        pending = []
+        rows = nz_order[(deg[nz_order] > lo) & (deg[nz_order] <= cap)]
         if rows.shape[0] == 0:
             continue
         R = rows.shape[0]
@@ -175,12 +175,15 @@ def build_ell(
         i_tab = np.zeros((R, cap), dtype=np.int64)
         starts = ptr[rows]
         lens = deg[rows]
-        for j in range(cap):
-            m = j < lens
-            p = (starts + j)[m]
-            e_tab[m, j] = eid[p]
-            i_tab[m, j] = idx[p]
-            edge_slot[eid[p]] = slot_base + np.nonzero(m)[0] * cap + j
+        # O(edges) fill: flat (bucket-row, slot) coordinates per edge.
+        rix = np.repeat(np.arange(R), lens)
+        off = np.arange(rix.shape[0]) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        p = np.repeat(starts, lens) + off
+        e_tab[rix, off] = eid[p]
+        i_tab[rix, off] = idx[p]
+        edge_slot[eid[p]] = slot_base + rix * cap + off
         eids_list.append(e_tab.astype(np.int32))
         idxs_list.append(i_tab.astype(np.int32))
         rows_list.append(rows.astype(np.int32))
@@ -216,8 +219,16 @@ def _bucket_sum(mat, idx, vals):
         for j in range(1, cap):
             acc = acc + jnp.take(mat, idx[:, j], axis=0) * vals[:, j, None]
         return acc
-    h = jnp.take(mat, idx, axis=0) * vals[..., None]
-    return jnp.sum(h, axis=1)
+    # Chunk wide buckets so the (R, chunk, K) gather intermediate stays
+    # bounded (power-law max degrees reach the millions).
+    acc = None
+    step = _chunk_cols(idx.shape[0], cap, mat.shape[1])
+    for s in range(0, cap, step):
+        e = min(s + step, cap)
+        h = jnp.take(mat, idx[:, s:e], axis=0) * vals[:, s:e, None]
+        part = jnp.sum(h, axis=1)
+        acc = part if acc is None else acc + part
+    return acc
 
 
 def ell_spmm(
@@ -263,9 +274,18 @@ def ell_edge_dot(
     """
     parts = []
     for idx, rows in zip(ell.idxs, ell.rows):
-        h = jnp.take(mat, idx, axis=0)            # (R, cap, K)
         g = jnp.take(grad, rows, axis=0)          # (R, K)
-        parts.append(jnp.einsum("rck,rk->rc", h, g).reshape(-1))
+        cap = idx.shape[1]
+        chunks = []
+        step = _chunk_cols(idx.shape[0], cap, mat.shape[1])
+        for s in range(0, cap, step):
+            e = min(s + step, cap)
+            h = jnp.take(mat, idx[:, s:e], axis=0)    # (R, c, K)
+            chunks.append(jnp.einsum("rck,rk->rc", h, g))
+        rc = chunks[0] if len(chunks) == 1 else jnp.concatenate(
+            chunks, axis=1
+        )
+        parts.append(rc.reshape(-1))
     if not parts:
         return jnp.zeros((0,), mat.dtype)
     flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
@@ -290,20 +310,38 @@ def ell_spmm_minmax(
     )
     outs, args = [], []
     for eids, idx in zip(ell.eids, ell.idxs):
-        h = jnp.take(mat, idx, axis=0)            # (R, cap, K)
-        if value is not None:
-            vals = jnp.take(value_pad, eids, axis=0).astype(mat.dtype)
-            h = h * vals[..., None]
-        mask = (eids < ell.E)[..., None]
-        h = jnp.where(mask, h, big)
-        if is_min:
-            slot = jnp.argmin(h, axis=1)          # first occurrence
-            outs.append(jnp.min(h, axis=1))
-        else:
-            slot = jnp.argmax(h, axis=1)
-            outs.append(jnp.max(h, axis=1))
+        cap = idx.shape[1]
+        best = best_slot = None
+        step = _chunk_cols(idx.shape[0], cap, mat.shape[1])
+        for s in range(0, cap, step):
+            e = min(s + step, cap)
+            h = jnp.take(mat, idx[:, s:e], axis=0)    # (R, c, K)
+            if value is not None:
+                vals = jnp.take(
+                    value_pad, eids[:, s:e], axis=0
+                ).astype(mat.dtype)
+                h = h * vals[..., None]
+            mask = (eids[:, s:e] < ell.E)[..., None]
+            h = jnp.where(mask, h, big)
+            if is_min:
+                slot = jnp.argmin(h, axis=1).astype(jnp.int32) + s
+                ext = jnp.min(h, axis=1)
+            else:
+                slot = jnp.argmax(h, axis=1).astype(jnp.int32) + s
+                ext = jnp.max(h, axis=1)
+            if best is None:
+                best, best_slot = ext, slot
+            else:
+                # Strict comparison keeps the FIRST slot on ties,
+                # matching the reference reducer (reducer.h:52-62).
+                better = (ext < best) if is_min else (ext > best)
+                best = jnp.where(better, ext, best)
+                best_slot = jnp.where(better, slot, best_slot)
+        outs.append(best)
         args.append(
-            jnp.take_along_axis(eids, slot.astype(eids.dtype), axis=1)
+            jnp.take_along_axis(
+                eids, best_slot.astype(eids.dtype), axis=1
+            )
         )
     if ell.n_zero:
         outs.append(jnp.zeros((ell.n_zero, K), mat.dtype))

@@ -106,12 +106,13 @@ def _build_group_ell(
             if rows.size:
                 st = starts[rows]
                 ln = starts[rows + 1] - st
-                for j in range(cap):
-                    m = j < ln
-                    p = (st + j)[m]
-                    ii = np.nonzero(m)[0]
-                    itabs[k][g, ii, j] = c_s[p]
-                    vtabs[k][g, ii, j] = v_s[p]
+                rix = np.repeat(np.arange(rows.size), ln)
+                off = np.arange(rix.shape[0]) - np.repeat(
+                    np.cumsum(ln) - ln, ln
+                )
+                p = np.repeat(st, ln) + off
+                itabs[k][g, rix, off] = c_s[p]
+                vtabs[k][g, rix, off] = v_s[p]
                 invs[g, rows] = base + np.arange(rows.size)
             base += R[k]
     return (
@@ -131,8 +132,18 @@ def _group_ell_apply(itabs, vtabs, inv, x):
     for itab, vtab in zip(itabs, vtabs):
         if itab.shape[0] == 0:
             continue
-        h = jnp.take(x, itab, axis=0)            # (R, cap, K)
-        parts.append(jnp.sum(h * vtab[..., None].astype(h.dtype), axis=1))
+        cap = itab.shape[1]
+        acc = None
+        from ..ops.kernels.ell import _chunk_cols
+        step = _chunk_cols(itab.shape[0], cap, x.shape[1])
+        for s in range(0, cap, step):  # bound the (R, chunk, K) gather
+            e = min(s + step, cap)
+            h = jnp.take(x, itab[:, s:e], axis=0)
+            part = jnp.sum(
+                h * vtab[:, s:e, None].astype(h.dtype), axis=1
+            )
+            acc = part if acc is None else acc + part
+        parts.append(acc)
     K = x.shape[1]
     if parts:
         stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
