@@ -25,7 +25,7 @@ from .ops import (  # noqa
     index_select, index_select_nnz, masked_select, masked_select_nnz,
     narrow, __narrow_diag__, select, cat, permute, reverse_cuthill_mckee,
 )
-from .utils import ind2ptr, ptr2ind, index_sort  # noqa
+from .utils import ind2ptr, ptr2ind, index_sort, save_npz, load_npz  # noqa
 
 # Samplers + partitioning attach further SparseTensor methods on import.
 from .sample import (  # noqa
@@ -89,6 +89,8 @@ __all__ = [
     "ind2ptr",
     "ptr2ind",
     "index_sort",
+    "save_npz",
+    "load_npz",
     "random_walk",
     "sample",
     "sample_adj",

@@ -190,6 +190,10 @@ def build_ell(
         used_caps.append(cap)
         perm_parts.append(rows)
         slot_base += R * cap
+    assert slot_base < 2**31, (
+        "ELL slot space exceeds int32; shard the matrix first "
+        "(parallel.ShardedSparseMatrix)"
+    )
 
     perm = np.concatenate(
         perm_parts + [order[deg[order] == 0]]
