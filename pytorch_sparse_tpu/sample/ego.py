@@ -61,8 +61,8 @@ def ego_k_hop_sample_adj(
     node range and ``root_n_id`` the seed's position in the stitched
     numbering."""
     rng = as_generator(seed)
-    rowptr = np.asarray(src.storage.rowptr(), np.int64)
-    col = np.asarray(src.storage.col(), np.int64)
+    rowptr = src.storage.numpy_view("rowptr")
+    col = src.storage.numpy_view("col")
     idx_np = np.asarray(idx, np.int64)
 
     all_rows, all_cols, all_eids, all_nids = [], [], [], []

@@ -9,10 +9,27 @@ nodes stay in place (the walk emits the current node again).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 from ..tensor import SparseTensor
+
+
+@partial(jax.jit, static_argnames=("walk_length",))
+def _walk(rowptr, col, start, key, walk_length: int):
+    rand = jax.random.uniform(key, (start.shape[0], walk_length))
+
+    def step(cur, r):
+        lo = jnp.take(rowptr, cur)
+        deg = jnp.take(rowptr, cur + 1) - lo
+        e = lo + (r * deg.astype(r.dtype)).astype(cur.dtype)
+        nxt = jnp.where(deg > 0, jnp.take(col, e), cur)
+        return nxt, nxt
+
+    _, steps = jax.lax.scan(step, start, rand.T)
+    return jnp.concatenate([start[None, :], steps], axis=0).T
 
 
 def random_walk(
@@ -25,17 +42,7 @@ def random_walk(
         key = jax.random.PRNGKey(0)
     rowptr, col, _ = src.csr()
     start = jnp.asarray(start, dtype=rowptr.dtype)
-    rand = jax.random.uniform(key, (start.shape[0], walk_length))
-
-    def step(cur, r):
-        lo = jnp.take(rowptr, cur)
-        deg = jnp.take(rowptr, cur + 1) - lo
-        e = lo + (r * deg.astype(r.dtype)).astype(cur.dtype)
-        nxt = jnp.where(deg > 0, jnp.take(col, e), cur)
-        return nxt, nxt
-
-    _, steps = jax.lax.scan(step, start, rand.T)
-    return jnp.concatenate([start[None, :], steps], axis=0).T
+    return _walk(rowptr, col, start, key, walk_length)
 
 
 SparseTensor.random_walk = (

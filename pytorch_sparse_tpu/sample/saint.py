@@ -22,12 +22,12 @@ def saint_subgraph(
     from ..csrc import bindings
 
     if bindings.available():
-        rowptr = np.ascontiguousarray(src.storage.rowptr(), np.int64)
-        col = np.ascontiguousarray(src.storage.col(), np.int64)
+        rowptr = src.storage.numpy_view("rowptr")
+        col = src.storage.numpy_view("col")
         new_row, new_col, e_id = bindings.saint_subgraph(rowptr, col, idx)
     else:
-        row = np.asarray(src.storage.row(), np.int64)
-        col = np.asarray(src.storage.col(), np.int64)
+        row = src.storage.numpy_view("row")
+        col = src.storage.numpy_view("col")
         assoc = np.full(M, -1, np.int64)
         assoc[idx] = np.arange(idx.shape[0])
 

@@ -51,8 +51,8 @@ def sample_adj(
     """One-hop sampled bipartite adjacency ``(len(subset), len(n_id))``
     plus the node mapping ``n_id`` (subset first, then newly-seen cols in
     first-seen order); values carried through ``e_id``."""
-    rowptr = np.ascontiguousarray(src.storage.rowptr(), np.int64)
-    col = np.ascontiguousarray(src.storage.col(), np.int64)
+    rowptr = src.storage.numpy_view("rowptr")
+    col = src.storage.numpy_view("col")
     subset_np = np.ascontiguousarray(subset, np.int64)
 
     from ..csrc import bindings

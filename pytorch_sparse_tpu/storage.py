@@ -470,6 +470,27 @@ class SparseStorage:
         return self._ell_t
 
     # ------------------------------------------------------------------
+    # Memoized host-side int64 views for the samplers/partitioner (the
+    # C-ABI kernels take int64; converting 5-10 MB of CSR arrays per
+    # sampler call dominated sampling time otherwise).  Host caches, not
+    # pytree leaves.
+    # ------------------------------------------------------------------
+    def numpy_view(self, name: str):
+        """Host int64 copy of ``row/rowptr/col/colptr/csr2csc/...``,
+        memoized per storage instance; None under tracing."""
+        import numpy as np
+
+        cache = getattr(self, "_np_cache", None)
+        if cache is None:
+            cache = self._np_cache = {}
+        if name not in cache:
+            arr = getattr(self, name)()
+            if not _is_concrete(arr):
+                return None
+            cache[name] = np.ascontiguousarray(np.asarray(arr), np.int64)
+        return cache[name]
+
+    # ------------------------------------------------------------------
     # Coalescing (reference storage.py:431-466). Output nnz is
     # data-dependent -> eager-only when duplicates exist.
     # ------------------------------------------------------------------
