@@ -109,6 +109,32 @@ def saint_subgraph(
     return out_row, out_col, out_eid
 
 
+def ego_k_hop(
+    rowptr: np.ndarray, col: np.ndarray, seeds: np.ndarray, depth: int,
+    num_neighbors: int, replace: bool, seed: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray]:
+    counts = np.zeros(2, np.int64)
+    args = (
+        _p(rowptr), _p(col), ctypes.c_int64(rowptr.shape[0] - 1),
+        _p(seeds), ctypes.c_int64(seeds.shape[0]),
+        ctypes.c_int64(depth), ctypes.c_int64(num_neighbors),
+        ctypes.c_int32(1 if replace else 0), ctypes.c_uint64(seed),
+    )
+    lib.ego_k_hop(*args, _p(counts), None, None, None, None, None, None)
+    out_row = np.empty(counts[1], np.int64)
+    out_col = np.empty(counts[1], np.int64)
+    out_eid = np.empty(counts[1], np.int64)
+    out_nid = np.empty(counts[0], np.int64)
+    out_ptr = np.empty(seeds.shape[0] + 1, np.int64)
+    out_root = np.empty(seeds.shape[0], np.int64)
+    lib.ego_k_hop(
+        *args, _p(counts), _p(out_row), _p(out_col), _p(out_eid),
+        _p(out_nid), _p(out_ptr), _p(out_root),
+    )
+    return out_row, out_col, out_eid, out_nid, out_ptr, out_root
+
+
 def relabel_one_hop(
     rowptr: np.ndarray, col: np.ndarray, idx: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

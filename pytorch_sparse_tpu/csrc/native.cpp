@@ -360,6 +360,99 @@ int64_t partition_refine(const int64_t *rowptr, const int64_t *col,
 }
 
 // Version tag for the loader.
+// ---------------------------------------------------------------------
+// ego_k_hop: per-seed k-hop BFS with a per-node neighbor cap, induced
+// subgraph over the sorted visited set, block-diagonal stitching
+// (reference csrc/cpu/ego_sample_cpu.cpp:16-131).
+//
+// Two-phase like neighbor_sample: call with out_row == nullptr to get
+// counts[0] = total stitched nodes, counts[1] = total induced edges;
+// then call again with buffers of those sizes.  Deterministic for a
+// fixed seed, so both phases visit identically.
+// ---------------------------------------------------------------------
+void ego_k_hop(const int64_t *rowptr, const int64_t *col, int64_t n_nodes,
+               const int64_t *seeds, int64_t n_seeds, int64_t depth,
+               int64_t num_neighbors, int32_t replace, uint64_t seed,
+               int64_t *counts, int64_t *out_row, int64_t *out_col,
+               int64_t *out_eid, int64_t *out_nid, int64_t *out_ptr,
+               int64_t *out_root) {
+  (void)n_nodes;
+  const bool count_only = out_row == nullptr;
+  Rng rng;
+  rng_seed(&rng, seed);
+
+  int64_t node_off = 0, edge_off = 0;
+  if (!count_only) out_ptr[0] = 0;
+
+  std::unordered_set<int64_t> visited;
+  std::vector<int64_t> frontier, next, n_ids;
+  std::unordered_map<int64_t, int64_t> assoc;
+
+  for (int64_t s = 0; s < n_seeds; s++) {
+    visited.clear();
+    frontier.clear();
+    const int64_t root = seeds[s];
+    visited.insert(root);
+    frontier.push_back(root);
+
+    for (int64_t d = 0; d < depth && !frontier.empty(); d++) {
+      next.clear();
+      for (const int64_t v : frontier) {
+        const int64_t start = rowptr[v], deg = rowptr[v + 1] - rowptr[v];
+        auto visit = [&](int64_t e) {
+          const int64_t w = col[e];
+          if (visited.insert(w).second) next.push_back(w);
+        };
+        if (num_neighbors < 0 || (!replace && deg <= num_neighbors)) {
+          for (int64_t j = 0; j < deg; j++) visit(start + j);
+        } else if (replace) {
+          if (deg > 0)
+            for (int64_t j = 0; j < num_neighbors; j++)
+              visit(start + rng_below(&rng, deg));
+        } else {
+          std::unordered_set<int64_t> perm;
+          perm.reserve(num_neighbors * 2);
+          for (int64_t j = deg - num_neighbors; j < deg; j++) {
+            if (!perm.insert(rng_below(&rng, j)).second) perm.insert(j);
+          }
+          for (const int64_t p : perm) visit(start + p);
+        }
+      }
+      std::sort(next.begin(), next.end());
+      frontier = next;  // already unique (visited-gated)
+    }
+
+    n_ids.assign(visited.begin(), visited.end());
+    std::sort(n_ids.begin(), n_ids.end());
+    assoc.clear();
+    assoc.reserve(n_ids.size() * 2);
+    for (size_t i = 0; i < n_ids.size(); i++) assoc[n_ids[i]] = (int64_t)i;
+
+    for (size_t i = 0; i < n_ids.size(); i++) {
+      const int64_t v = n_ids[i];
+      for (int64_t e = rowptr[v]; e < rowptr[v + 1]; e++) {
+        const auto it = assoc.find(col[e]);
+        if (it == assoc.end()) continue;
+        if (!count_only) {
+          out_row[edge_off] = node_off + (int64_t)i;
+          out_col[edge_off] = node_off + it->second;
+          out_eid[edge_off] = e;
+        }
+        edge_off++;
+      }
+    }
+    if (!count_only) {
+      for (size_t i = 0; i < n_ids.size(); i++)
+        out_nid[node_off + (int64_t)i] = n_ids[i];
+      out_root[s] = node_off + assoc[root];
+      out_ptr[s + 1] = node_off + (int64_t)n_ids.size();
+    }
+    node_off += (int64_t)n_ids.size();
+  }
+  counts[0] = node_off;
+  counts[1] = edge_off;
+}
+
 int64_t sparse_tpu_native_abi_version() { return 1; }
 
 }  // extern "C"

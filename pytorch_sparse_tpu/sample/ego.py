@@ -60,31 +60,40 @@ def ego_k_hop_sample_adj(
     net per seed, stitched diagonally, with ``ptr`` delimiting each net's
     node range and ``root_n_id`` the seed's position in the stitched
     numbering."""
-    rng = as_generator(seed)
     rowptr = src.storage.numpy_view("rowptr")
     col = src.storage.numpy_view("col")
-    idx_np = np.asarray(idx, np.int64)
+    idx_np = np.ascontiguousarray(idx, np.int64)
 
-    all_rows, all_cols, all_eids, all_nids = [], [], [], []
-    ptr = [0]
-    roots = []
-    node_off = 0
-    for g in range(idx_np.shape[0]):
-        _, rows, cols, e_ids, n_ids, root_local = _one_ego(
-            rowptr, col, idx_np[g], depth, num_neighbors, replace, rng
+    from ..csrc import bindings
+
+    if bindings.available():
+        native_seed = seed if isinstance(seed, int) else 0
+        row, colc, e_id, n_id, ptr, roots = bindings.ego_k_hop(
+            rowptr, col, idx_np, depth, num_neighbors, replace, native_seed
         )
-        all_rows.append(rows + node_off)
-        all_cols.append(cols + node_off)
-        all_eids.append(e_ids)
-        all_nids.append(n_ids)
-        roots.append(root_local + node_off)
-        node_off += n_ids.shape[0]
-        ptr.append(node_off)
+        node_off = int(n_id.shape[0])
+    else:
+        rng = as_generator(seed)
+        all_rows, all_cols, all_eids, all_nids = [], [], [], []
+        ptr = [0]
+        roots = []
+        node_off = 0
+        for g in range(idx_np.shape[0]):
+            _, rows, cols, e_ids, n_ids, root_local = _one_ego(
+                rowptr, col, idx_np[g], depth, num_neighbors, replace, rng
+            )
+            all_rows.append(rows + node_off)
+            all_cols.append(cols + node_off)
+            all_eids.append(e_ids)
+            all_nids.append(n_ids)
+            roots.append(root_local + node_off)
+            node_off += n_ids.shape[0]
+            ptr.append(node_off)
 
-    row = np.concatenate(all_rows) if all_rows else np.zeros(0, np.int64)
-    colc = np.concatenate(all_cols) if all_cols else np.zeros(0, np.int64)
-    e_id = np.concatenate(all_eids) if all_eids else np.zeros(0, np.int64)
-    n_id = np.concatenate(all_nids) if all_nids else np.zeros(0, np.int64)
+        row = np.concatenate(all_rows) if all_rows else np.zeros(0, np.int64)
+        colc = np.concatenate(all_cols) if all_cols else np.zeros(0, np.int64)
+        e_id = np.concatenate(all_eids) if all_eids else np.zeros(0, np.int64)
+        n_id = np.concatenate(all_nids) if all_nids else np.zeros(0, np.int64)
 
     value = src.storage.value()
     if value is not None:
