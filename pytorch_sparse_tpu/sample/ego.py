@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tensor import SparseTensor
-from ..utils.convert import INDEX_DTYPE
+from ..utils.convert import INDEX_DTYPE, to_index_array
 from ._common import Seed, as_generator, sample_per_row
 
 
@@ -100,14 +100,14 @@ def ego_k_hop_sample_adj(
         value = value[jnp.asarray(e_id)]
 
     out = SparseTensor(
-        row=jnp.asarray(row, INDEX_DTYPE),
-        col=jnp.asarray(colc, INDEX_DTYPE), value=value,
+        row=to_index_array(row),
+        col=to_index_array(colc), value=value,
         sparse_sizes=(node_off, node_off), is_sorted=True, trust_data=True,
     )
     return (
         out,
-        jnp.asarray(n_id, INDEX_DTYPE),
-        jnp.asarray(e_id, INDEX_DTYPE),
-        jnp.asarray(np.asarray(ptr, np.int64), INDEX_DTYPE),
-        jnp.asarray(np.asarray(roots, np.int64), INDEX_DTYPE),
+        to_index_array(n_id),
+        to_index_array(e_id),
+        to_index_array(ptr),
+        to_index_array(roots),
     )

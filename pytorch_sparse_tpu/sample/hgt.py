@@ -11,7 +11,7 @@ from typing import Dict, List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.convert import INDEX_DTYPE
+from ..utils.convert import INDEX_DTYPE, to_index_array
 from ._common import Seed, as_generator
 
 MAX_NEIGHBORS = 50  # reference hgt_sample_cpu.cpp:9
@@ -131,12 +131,12 @@ def hgt_sample(
                     rows.append(loc)
                     cols.append(i)
                     edges.append(offset)
-        out_rows[rel] = jnp.asarray(np.asarray(rows, np.int64), INDEX_DTYPE)
-        out_cols[rel] = jnp.asarray(np.asarray(cols, np.int64), INDEX_DTYPE)
-        out_edges[rel] = jnp.asarray(np.asarray(edges, np.int64), INDEX_DTYPE)
+        out_rows[rel] = to_index_array(rows)
+        out_cols[rel] = to_index_array(cols)
+        out_edges[rel] = to_index_array(edges)
 
     node_out = {
-        nt: jnp.asarray(np.asarray(v, np.int64), INDEX_DTYPE)
+        nt: to_index_array(v)
         for nt, v in nodes.items()
     }
     return node_out, out_rows, out_cols, out_edges

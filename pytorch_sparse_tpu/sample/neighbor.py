@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.convert import INDEX_DTYPE
+from ..utils.convert import INDEX_DTYPE, to_index_array
 from ._common import Seed, as_generator, sample_per_row
 
 
@@ -65,8 +65,8 @@ def neighbor_sample(
             replace, directed, native_seed,
         )
         return (
-            jnp.asarray(nodes, INDEX_DTYPE), jnp.asarray(rows, INDEX_DTYPE),
-            jnp.asarray(cols, INDEX_DTYPE), jnp.asarray(edges, INDEX_DTYPE),
+            to_index_array(nodes), to_index_array(rows),
+            to_index_array(cols), to_index_array(edges),
         )
 
     rng = as_generator(seed)
@@ -104,10 +104,10 @@ def neighbor_sample(
                     edges.append(offset)
 
     return (
-        jnp.asarray(np.asarray(samples, np.int64), INDEX_DTYPE),
-        jnp.asarray(np.asarray(rows, np.int64), INDEX_DTYPE),
-        jnp.asarray(np.asarray(cols, np.int64), INDEX_DTYPE),
-        jnp.asarray(np.asarray(edges, np.int64), INDEX_DTYPE),
+        to_index_array(samples),
+        to_index_array(rows),
+        to_index_array(cols),
+        to_index_array(edges),
     )
 
 
@@ -194,11 +194,11 @@ def hetero_neighbor_sample(
                         edges[rel].append(offset)
 
     node_out = {
-        nt: jnp.asarray(np.asarray(s, np.int64), INDEX_DTYPE)
+        nt: to_index_array(s)
         for nt, s in samples.items()
     }
     to_arr = lambda d: {  # noqa: E731
-        k: jnp.asarray(np.asarray(v, np.int64), INDEX_DTYPE)
+        k: to_index_array(v)
         for k, v in d.items()
     }
     return node_out, to_arr(rows), to_arr(cols), to_arr(edges)
@@ -285,11 +285,11 @@ def hetero_temporal_neighbor_sample(
             begin[nt], end[nt] = end[nt], len(samples[nt])
 
     node_out = {
-        nt: jnp.asarray(np.asarray(s, np.int64), INDEX_DTYPE)
+        nt: to_index_array(s)
         for nt, s in samples.items()
     }
     to_arr = lambda d: {  # noqa: E731
-        k: jnp.asarray(np.asarray(v, np.int64), INDEX_DTYPE)
+        k: to_index_array(v)
         for k, v in d.items()
     }
     return node_out, to_arr(rows), to_arr(cols), to_arr(edges)

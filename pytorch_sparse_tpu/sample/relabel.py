@@ -7,7 +7,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.convert import INDEX_DTYPE
+from ..utils.convert import INDEX_DTYPE, to_index_array
 from ._common import expand_ranges, first_seen_relabel
 
 
@@ -20,7 +20,7 @@ def relabel(
     n_ids, local = first_seen_relabel(
         np.asarray(col, np.int64), np.asarray(idx, np.int64)
     )
-    return jnp.asarray(local, INDEX_DTYPE), jnp.asarray(n_ids, INDEX_DTYPE)
+    return to_index_array(local), to_index_array(n_ids)
 
 
 def relabel_one_hop(
@@ -63,8 +63,8 @@ def relabel_one_hop(
         out_value = value[jnp.asarray(positions)]
 
     return (
-        jnp.asarray(out_rowptr, INDEX_DTYPE),
-        jnp.asarray(local, INDEX_DTYPE),
+        to_index_array(out_rowptr),
+        to_index_array(local),
         out_value,
-        jnp.asarray(n_ids, INDEX_DTYPE),
+        to_index_array(n_ids),
     )

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tensor import SparseTensor
-from ..utils.convert import INDEX_DTYPE
+from ..utils.convert import INDEX_DTYPE, to_index_array
 
 
 def saint_subgraph(
@@ -44,12 +44,12 @@ def saint_subgraph(
         value = value[jnp.asarray(e_id)]
 
     out = SparseTensor(
-        row=jnp.asarray(new_row, INDEX_DTYPE),
-        col=jnp.asarray(new_col, INDEX_DTYPE), value=value,
+        row=to_index_array(new_row),
+        col=to_index_array(new_col), value=value,
         sparse_sizes=(idx.shape[0], idx.shape[0]),
         is_sorted=True, trust_data=True,
     )
-    return out, jnp.asarray(e_id, INDEX_DTYPE)
+    return out, to_index_array(e_id)
 
 
 SparseTensor.saint_subgraph = lambda self, node_idx: saint_subgraph(

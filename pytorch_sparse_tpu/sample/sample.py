@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tensor import SparseTensor
-from ..utils.convert import INDEX_DTYPE
+from ..utils.convert import INDEX_DTYPE, to_index_array
 from ._common import Seed, as_generator, first_seen_relabel, sample_per_row
 
 
@@ -32,7 +32,7 @@ def sample(
     rowcount = src.storage.rowcount()
 
     if subset is not None:
-        subset = jnp.asarray(subset, INDEX_DTYPE)
+        subset = to_index_array(subset)
         rowcount = rowcount[subset]
         rowptr = rowptr[subset]
     else:
@@ -84,12 +84,12 @@ def sample_adj(
         value = value[jnp.asarray(e_id)]
 
     out = SparseTensor(
-        rowptr=jnp.asarray(out_rowptr, INDEX_DTYPE), row=None,
-        col=jnp.asarray(local_col, INDEX_DTYPE), value=value,
+        rowptr=to_index_array(out_rowptr), row=None,
+        col=to_index_array(local_col), value=value,
         sparse_sizes=(subset_np.shape[0], n_id.shape[0]),
         is_sorted=True, trust_data=True,
     )
-    return out, jnp.asarray(n_id, INDEX_DTYPE)
+    return out, to_index_array(n_id)
 
 
 SparseTensor.sample = (

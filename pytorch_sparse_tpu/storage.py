@@ -46,6 +46,13 @@ def _is_concrete(x) -> bool:
 
 
 def _as_index(x) -> jnp.ndarray:
+    import numpy as np
+
+    # Host inputs cast in numpy first: a device-side astype is an eager
+    # XLA op that recompiles for every new shape, which wrecks host-side
+    # sampling pipelines whose frontier sizes vary per batch.
+    if isinstance(x, (np.ndarray, list, tuple)):
+        return jnp.asarray(np.asarray(x, dtype=INDEX_DTYPE))
     x = jnp.asarray(x)
     if x.dtype != INDEX_DTYPE:
         x = x.astype(INDEX_DTYPE)

@@ -38,3 +38,17 @@ def ptr2ind(ptr: jnp.ndarray, E: int) -> jnp.ndarray:
     ptr = jnp.asarray(ptr)
     positions = jnp.arange(E, dtype=ptr.dtype)
     return (jnp.searchsorted(ptr, positions, side="right") - 1).astype(INDEX_DTYPE)
+
+
+def to_index_array(x):
+    """Device index array via a host-side numpy cast.
+
+    Casting with an eager device ``astype`` compiles a convert op per
+    shape, which wrecks host sampling pipelines whose output sizes vary
+    per batch; numpy-cast first, then a pure ``device_put``.
+    """
+    import numpy as _np
+
+    if isinstance(x, jnp.ndarray):
+        return x if x.dtype == INDEX_DTYPE else x.astype(INDEX_DTYPE)
+    return jnp.asarray(_np.asarray(x, dtype=INDEX_DTYPE))
