@@ -453,6 +453,139 @@ void ego_k_hop(const int64_t *rowptr, const int64_t *col, int64_t n_nodes,
   counts[1] = edge_off;
 }
 
+// ---------------------------------------------------------------------
+// hetero_neighbor_sample: typed-graph multi-hop sampling (reference
+// cpu/neighbor_sample_cpu.cpp:132-430, non-temporal path).
+//
+// Flattened dict encoding: relation r has source/destination node-type
+// indices rel_src[r]/rel_dst[r]; its colptr lives at
+// colptr_cat[colptr_off[r] .. colptr_off[r+1]) and its row array at
+// row_cat[row_off[r] .. row_off[r+1]); per-hop budgets at
+// budgets[r*num_hops + hop].  Input nodes per type are concatenated via
+// inputs_off (n_types+1).
+//
+// Two-phase: out_nodes_cat == nullptr -> counts[0..T) node counts per
+// type, counts[T..T+R) edge counts per relation; then call again with
+// buffers sized from those counts (concatenated in type/relation order).
+// Deterministic for a fixed seed.
+// ---------------------------------------------------------------------
+void hetero_neighbor_sample(
+    int64_t n_types, int64_t n_rels, int64_t num_hops,
+    const int64_t *rel_src, const int64_t *rel_dst,
+    const int64_t *colptr_cat, const int64_t *colptr_off,
+    const int64_t *row_cat, const int64_t *row_off,
+    const int64_t *inputs_cat, const int64_t *inputs_off,
+    const int64_t *budgets, int32_t replace, int32_t directed,
+    uint64_t seed, int64_t *counts, int64_t *out_nodes_cat,
+    int64_t *out_rows_cat, int64_t *out_cols_cat, int64_t *out_eids_cat) {
+  const bool count_only = out_nodes_cat == nullptr;
+  Rng rng;
+  rng_seed(&rng, seed);
+
+  std::vector<std::vector<int64_t>> samples(n_types);
+  std::vector<std::unordered_map<int64_t, int64_t>> to_local(n_types);
+  for (int64_t t = 0; t < n_types; t++) {
+    for (int64_t i = inputs_off[t]; i < inputs_off[t + 1]; i++) {
+      const int64_t v = inputs_cat[i];
+      if (to_local[t].emplace(v, (int64_t)samples[t].size()).second)
+        samples[t].push_back(v);
+    }
+  }
+
+  std::vector<std::vector<int64_t>> rows(n_rels), cols(n_rels),
+      eids(n_rels);
+  std::vector<int64_t> begin(n_types, 0), end(n_types);
+  for (int64_t t = 0; t < n_types; t++) end[t] = (int64_t)samples[t].size();
+
+  for (int64_t ell = 0; ell < num_hops; ell++) {
+    for (int64_t r = 0; r < n_rels; r++) {
+      const int64_t st = rel_src[r], dt = rel_dst[r];
+      const int64_t budget = budgets[r * num_hops + ell];
+      const int64_t *cp = colptr_cat + colptr_off[r];
+      const int64_t *rw = row_cat + row_off[r];
+
+      auto visit = [&](int64_t e, int64_t i) {
+        const int64_t v = rw[e];
+        auto res = to_local[st].emplace(v, (int64_t)samples[st].size());
+        if (res.second) samples[st].push_back(v);
+        if (directed) {
+          rows[r].push_back(res.first->second);
+          cols[r].push_back(i);
+          eids[r].push_back(e);
+        }
+      };
+
+      for (int64_t i = begin[dt]; i < end[dt]; i++) {
+        const int64_t w = samples[dt][i];
+        const int64_t start = cp[w], deg = cp[w + 1] - cp[w];
+        if (deg == 0) continue;
+        if (budget < 0 || (!replace && budget >= deg)) {
+          for (int64_t j = 0; j < deg; j++) visit(start + j, i);
+        } else if (replace) {
+          for (int64_t j = 0; j < budget; j++)
+            visit(start + rng_below(&rng, deg), i);
+        } else {
+          std::unordered_set<int64_t> perm;
+          for (int64_t j = deg - budget; j < deg; j++) {
+            int64_t rnd = rng_below(&rng, j);
+            if (!perm.insert(rnd).second) {
+              rnd = j;
+              perm.insert(j);
+            }
+            visit(start + rnd, i);
+          }
+        }
+      }
+    }
+    for (int64_t t = 0; t < n_types; t++) {
+      begin[t] = end[t];
+      end[t] = (int64_t)samples[t].size();
+    }
+  }
+
+  if (!directed) {
+    for (int64_t r = 0; r < n_rels; r++) {
+      const int64_t st = rel_src[r], dt = rel_dst[r];
+      const int64_t *cp = colptr_cat + colptr_off[r];
+      const int64_t *rw = row_cat + row_off[r];
+      for (int64_t i = 0; i < (int64_t)samples[dt].size(); i++) {
+        const int64_t w = samples[dt][i];
+        for (int64_t e = cp[w]; e < cp[w + 1]; e++) {
+          const auto it = to_local[st].find(rw[e]);
+          if (it != to_local[st].end()) {
+            rows[r].push_back(it->second);
+            cols[r].push_back(i);
+            eids[r].push_back(e);
+          }
+        }
+      }
+    }
+  }
+
+  for (int64_t t = 0; t < n_types; t++)
+    counts[t] = (int64_t)samples[t].size();
+  for (int64_t r = 0; r < n_rels; r++)
+    counts[n_types + r] = (int64_t)rows[r].size();
+
+  if (!count_only) {
+    int64_t npos = 0, epos = 0;
+    for (int64_t t = 0; t < n_types; t++) {
+      std::memcpy(out_nodes_cat + npos, samples[t].data(),
+                  samples[t].size() * sizeof(int64_t));
+      npos += (int64_t)samples[t].size();
+    }
+    for (int64_t r = 0; r < n_rels; r++) {
+      std::memcpy(out_rows_cat + epos, rows[r].data(),
+                  rows[r].size() * sizeof(int64_t));
+      std::memcpy(out_cols_cat + epos, cols[r].data(),
+                  cols[r].size() * sizeof(int64_t));
+      std::memcpy(out_eids_cat + epos, eids[r].data(),
+                  eids[r].size() * sizeof(int64_t));
+      epos += (int64_t)rows[r].size();
+    }
+  }
+}
+
 int64_t sparse_tpu_native_abi_version() { return 1; }
 
 }  // extern "C"

@@ -137,10 +137,28 @@ def hetero_neighbor_sample(
 ):
     """Returns dicts (node_id per node type; row/col/edge_id per edge
     type key 'src__rel__dst')."""
-    rng = as_generator(seed)
     colptr_np = {k: _as_np(v) for k, v in colptr_dict.items()}
     row_np = {k: _as_np(v) for k, v in row_dict.items()}
 
+    from ..csrc import bindings
+
+    if bindings.available():
+        native_seed = seed if isinstance(seed, int) else 0
+        rel_keys = [_rel_key(et) for et in edge_types]
+        samples_n, rows_n, cols_n, edges_n = bindings.hetero_neighbor_sample(
+            list(node_types), rel_keys, colptr_np, row_np,
+            {nt: _as_np(v) for nt, v in input_node_dict.items()},
+            {k: list(num_neighbors_dict[k]) for k in rel_keys},
+            num_hops, replace, directed, native_seed,
+        )
+        return (
+            {nt: to_index_array(v) for nt, v in samples_n.items()},
+            {k: to_index_array(v) for k, v in rows_n.items()},
+            {k: to_index_array(v) for k, v in cols_n.items()},
+            {k: to_index_array(v) for k, v in edges_n.items()},
+        )
+
+    rng = as_generator(seed)
     samples = {nt: [] for nt in node_types}
     to_local = {nt: {} for nt in node_types}
     for nt, nodes in input_node_dict.items():
