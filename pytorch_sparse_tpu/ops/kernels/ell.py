@@ -57,6 +57,26 @@ def _choose_caps(deg: np.ndarray, max_buckets: int = _MAX_BUCKETS):
     if deg.size == 0:
         return []
     uniq, counts = np.unique(deg, return_counts=True)
+    # The DP is O(U^2 B); above ~2k unique degrees (huge power-law
+    # graphs), quantize candidate boundaries to degree quantiles first.
+    # Bucket caps must still COVER their rows, so each quantized group
+    # keeps its maximum degree as the candidate cap.
+    MAX_U = 2048
+    if uniq.size > MAX_U:
+        edges_idx = np.linspace(0, uniq.size, MAX_U + 1).astype(np.int64)
+        q_uniq = []
+        q_counts = []
+        for a, b in zip(edges_idx[:-1], edges_idx[1:]):
+            b = max(b, a + 1)
+            q_uniq.append(uniq[b - 1])
+            q_counts.append(counts[a:b].sum())
+        uniq = np.asarray(q_uniq)
+        counts = np.asarray(q_counts)
+        keep = np.concatenate([uniq[:-1] != uniq[1:], [True]])
+        # merge duplicated caps produced by the linspace
+        agg = np.zeros(keep.sum(), dtype=np.int64)
+        np.add.at(agg, np.cumsum(keep) - 1, counts)
+        uniq, counts = uniq[keep], agg
     U = uniq.size
     B = min(max_buckets, U)
     csum = np.concatenate([[0], np.cumsum(counts)])  # rows up to group i
