@@ -9,12 +9,27 @@ slope between two values of ``n`` — latency and constant overheads cancel.
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache: first compiles through the remote
+    tunnel take minutes at large graph sizes; repeats become instant."""
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        "/root/.cache/jax_cache_" + os.environ.get("JAX_PLATFORMS", "axon"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+enable_compile_cache()
 
 
 def device_time(

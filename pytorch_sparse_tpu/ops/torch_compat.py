@@ -275,3 +275,41 @@ SparseTensor.from_torch_sparse_coo_tensor = staticmethod(
 SparseTensor.from_torch_sparse_csr_tensor = staticmethod(
     from_torch_sparse_csr_tensor
 )
+
+
+# ----------------------------------------------------------------------
+# Storage-level parity methods (reference storage.py:561-710)
+# ----------------------------------------------------------------------
+from ..storage import SparseStorage  # noqa: E402
+
+
+def _st_cuda(self, device=None, non_blocking: bool = False):
+    return self.to_device(
+        device if device is not None else jax.devices()[0]
+    )
+
+
+def _st_type(self, dtype=None, non_blocking: bool = False):
+    if dtype is None:
+        value = self.value()
+        return value.dtype if value is not None else None
+    return self.astype_value(dtype)
+
+
+def _st_type_as(self, other):
+    value = other.value() if hasattr(other, "value") else None
+    return self if value is None else self.astype_value(value.dtype)
+
+
+def _st_device_as(self, other, non_blocking: bool = False):
+    dev = getattr(other, "device", None)
+    dev = dev() if callable(dev) else dev
+    return self.to_device(dev)
+
+
+SparseStorage.cuda = _st_cuda
+SparseStorage.type = _st_type
+SparseStorage.type_as = _st_type_as
+SparseStorage.device_as = _st_device_as
+SparseStorage.pin_memory = lambda self: self
+SparseStorage.is_pinned = lambda self: False
