@@ -58,6 +58,11 @@ def main():
         }))
         return
 
+    # A rides as a closure constant: at this size XLA specializes the
+    # embedded tables into better code (3.4 ms vs 4.3 ms as a jit arg).
+    # Beyond ~100 MB of tables pass the tensor as an argument instead —
+    # constant-laden compile payloads degrade and eventually exceed the
+    # remote-compile body limit (see benchmarks/timing.py).
     dt = device_time(lambda m: ts.spmm_sum(A, m), mat)
     nnzs = E / dt
 

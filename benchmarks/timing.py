@@ -35,18 +35,26 @@ enable_compile_cache()
 def device_time(
     step: Callable,
     init_carry,
+    *args,
     n_lo: int = 4,
     n_hi: int = 24,
     repeats: int = 3,
 ) -> float:
-    """Seconds per invocation of ``step(carry) -> carry``.
+    """Seconds per invocation of ``step(carry, *args) -> carry``.
 
     ``step`` must be shape-preserving in its carry so it can be chained.
+    Pass large operands (sparse tensors, tables) via ``*args`` rather
+    than closing over them: closure arrays are embedded as HLO
+    constants, which bloats the compile payload (the remote-compile
+    tunnel rejects >~100 MB bodies with HTTP 413) and degrades compile
+    quality.
     """
 
     @partial(jax.jit, static_argnames=("n",))
-    def chained(carry, n):
-        carry = jax.lax.fori_loop(0, n, lambda i, c: step(c), carry)
+    def chained(carry, n, *args):
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, c: step(c, *args), carry
+        )
         return jax.tree_util.tree_reduce(
             lambda a, x: a + jnp.sum(x).astype(jnp.float32), carry, 0.0
         )
@@ -55,12 +63,12 @@ def device_time(
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(chained(init_carry, n))
+            float(chained(init_carry, n, *args))
             best = min(best, time.perf_counter() - t0)
         return best
 
     # warm up compiles for both sizes
-    float(chained(init_carry, n_lo))
-    float(chained(init_carry, n_hi))
+    float(chained(init_carry, n_lo, *args))
+    float(chained(init_carry, n_hi, *args))
     t_lo, t_hi = run(n_lo), run(n_hi)
     return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
