@@ -49,6 +49,20 @@ class GAT:
             alpha_dst, col, axis=0
         )
         logits = jax.nn.leaky_relu(logits, negative_slope)
+
+        from ..ops.kernels.ell import ell_edge_softmax
+        from ..ops.matmul import _ell_spmm_sum, _ell_views
+
+        views = _ell_views(adj)
+        if views is not None:
+            # Scatter-free path: bucket softmax + per-head ELL SpMM with
+            # the transpose-backed backward.
+            ellA, ellAT = views
+            att = ell_edge_softmax(ellA, logits)               # (E, H)
+            return jax.vmap(
+                lambda v, m: _ell_spmm_sum(ellA, ellAT, row, col, v, m),
+                in_axes=(1, 1), out_axes=1,
+            )(att, h)
         att = edge_softmax(row, logits, M)                     # (E, H)
         msgs = jnp.take(h, col, axis=0) * att[:, :, None]      # (E, H, D)
         return segment_sum(msgs, row, M, indices_are_sorted=True)

@@ -316,6 +316,40 @@ def ell_edge_dot(
     return jnp.take(flat, ell.edge_slot, axis=0)
 
 
+def ell_edge_softmax(ell: EllFormat, logits: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable softmax of per-edge ``logits`` (E, H) over each
+    row's incident edges, scatter-free: per-bucket masked max/sum with a
+    broadcast back through ``edge_slot``."""
+    E, H = logits.shape
+    neg = jnp.asarray(-jnp.inf, logits.dtype)
+    logits_pad = jnp.concatenate(
+        [logits, jnp.full((1, H), neg, logits.dtype)]
+    )
+    mx_parts, sm_parts = [], []
+    for eids in ell.eids:
+        lv = jnp.take(logits_pad, eids, axis=0)      # (R, cap, H)
+        mx = jnp.max(lv, axis=1, keepdims=True)      # (R, 1, H)
+        ex = jnp.where(
+            (eids < E)[..., None], jnp.exp(lv - mx),
+            jnp.zeros((), logits.dtype),
+        )
+        sm = jnp.sum(ex, axis=1, keepdims=True)      # (R, 1, H)
+        R, cap = eids.shape
+        mx_parts.append(jnp.broadcast_to(mx, (R, cap, H)).reshape(-1, H))
+        sm_parts.append(jnp.broadcast_to(sm, (R, cap, H)).reshape(-1, H))
+    if not mx_parts:
+        return logits
+    mx_flat = (
+        mx_parts[0] if len(mx_parts) == 1 else jnp.concatenate(mx_parts)
+    )
+    sm_flat = (
+        sm_parts[0] if len(sm_parts) == 1 else jnp.concatenate(sm_parts)
+    )
+    row_max = jnp.take(mx_flat, ell.edge_slot, axis=0)
+    row_sum = jnp.take(sm_flat, ell.edge_slot, axis=0)
+    return jnp.exp(logits - row_max) / jnp.maximum(row_sum, 1e-16)
+
+
 def ell_spmm_minmax(
     ell: EllFormat,
     value: Optional[jnp.ndarray],

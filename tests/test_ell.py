@@ -216,3 +216,15 @@ def test_ell_minmax_matches_segment_path(reduce):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_ell[1]), np.asarray(g_seg[1]),
                                atol=1e-5)
+
+
+def test_ell_edge_softmax_matches_segment():
+    from pytorch_sparse_tpu.models.gat import edge_softmax
+    from pytorch_sparse_tpu.ops.kernels.ell import ell_edge_softmax
+
+    A = _random_graph(45, 45, 250, seed=17)
+    rng = np.random.RandomState(5)
+    logits = jnp.asarray(rng.randn(A.nnz(), 4).astype(np.float32))
+    a1 = ell_edge_softmax(A.storage.ell(), logits)
+    a2 = edge_softmax(A.storage.row(), logits, 45)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
