@@ -179,6 +179,90 @@ def hetero_neighbor_sample(
     return samples, rows, cols, eids
 
 
+def hetero_temporal_neighbor_sample(
+    node_types, edge_types, colptr_dict, row_dict, input_dict,
+    budget_dict, time_dict, num_hops: int, replace: bool, directed: bool,
+    seed: int,
+):
+    """Temporal variant: per-type node times; absent types get
+    has_time=0 (no constraint)."""
+    T, R = len(node_types), len(edge_types)
+    tindex = {t: i for i, t in enumerate(node_types)}
+    rel_src = np.empty(R, np.int64)
+    rel_dst = np.empty(R, np.int64)
+    colptr_off = np.zeros(R + 1, np.int64)
+    row_off = np.zeros(R + 1, np.int64)
+    cps, rws = [], []
+    budgets = np.empty(R * num_hops, np.int64)
+    for r, rel in enumerate(edge_types):
+        src_t, _, dst_t = rel.split("__")
+        rel_src[r], rel_dst[r] = tindex[src_t], tindex[dst_t]
+        cps.append(np.ascontiguousarray(colptr_dict[rel], np.int64))
+        rws.append(np.ascontiguousarray(row_dict[rel], np.int64))
+        colptr_off[r + 1] = colptr_off[r] + cps[-1].shape[0]
+        row_off[r + 1] = row_off[r] + rws[-1].shape[0]
+        budgets[r * num_hops:(r + 1) * num_hops] = budget_dict[rel]
+    colptr_cat = np.concatenate(cps) if cps else np.zeros(0, np.int64)
+    row_cat = np.concatenate(rws) if rws else np.zeros(0, np.int64)
+
+    inputs_off = np.zeros(T + 1, np.int64)
+    inps = []
+    time_off = np.zeros(T + 1, np.int64)
+    times = []
+    has_time = np.zeros(T, np.int32)
+    for t, nt in enumerate(node_types):
+        arr = np.ascontiguousarray(input_dict.get(nt, np.zeros(0)), np.int64)
+        inps.append(arr)
+        inputs_off[t + 1] = inputs_off[t] + arr.shape[0]
+        tm = time_dict.get(nt)
+        tm = (
+            np.ascontiguousarray(tm, np.int64)
+            if tm is not None else np.zeros(0, np.int64)
+        )
+        has_time[t] = 1 if tm.shape[0] else 0
+        times.append(tm)
+        time_off[t + 1] = time_off[t] + tm.shape[0]
+    inputs_cat = np.concatenate(inps) if inps else np.zeros(0, np.int64)
+    time_cat = np.concatenate(times) if times else np.zeros(0, np.int64)
+
+    counts = np.zeros(T + R, np.int64)
+    args = (
+        ctypes.c_int64(T), ctypes.c_int64(R), ctypes.c_int64(num_hops),
+        _p(rel_src), _p(rel_dst), _p(colptr_cat), _p(colptr_off),
+        _p(row_cat), _p(row_off), _p(inputs_cat), _p(inputs_off),
+        _p(budgets), _p(time_cat), _p(time_off),
+        has_time.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(1 if replace else 0),
+        ctypes.c_int32(1 if directed else 0), ctypes.c_uint64(seed),
+    )
+    lib.hetero_temporal_neighbor_sample(
+        *args, _p(counts), None, None, None, None
+    )
+    n_total = int(counts[:T].sum())
+    e_total = int(counts[T:].sum())
+    nodes_cat = np.empty(n_total, np.int64)
+    rows_cat = np.empty(e_total, np.int64)
+    cols_cat = np.empty(e_total, np.int64)
+    eids_cat = np.empty(e_total, np.int64)
+    lib.hetero_temporal_neighbor_sample(
+        *args, _p(counts), _p(nodes_cat), _p(rows_cat), _p(cols_cat),
+        _p(eids_cat),
+    )
+    samples, rows, cols, eids = {}, {}, {}, {}
+    npos = 0
+    for t, nt in enumerate(node_types):
+        samples[nt] = nodes_cat[npos:npos + counts[t]]
+        npos += counts[t]
+    epos = 0
+    for r, rel in enumerate(edge_types):
+        n = counts[T + r]
+        rows[rel] = rows_cat[epos:epos + n]
+        cols[rel] = cols_cat[epos:epos + n]
+        eids[rel] = eids_cat[epos:epos + n]
+        epos += n
+    return samples, rows, cols, eids
+
+
 def ego_k_hop(
     rowptr: np.ndarray, col: np.ndarray, seeds: np.ndarray, depth: int,
     num_neighbors: int, replace: bool, seed: int,

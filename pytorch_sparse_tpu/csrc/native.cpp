@@ -586,6 +586,148 @@ void hetero_neighbor_sample(
   }
 }
 
+// ---------------------------------------------------------------------
+// hetero_temporal_neighbor_sample (reference
+// cpu/neighbor_sample_cpu.cpp:119-130 `satisfy_time` + temporal
+// branches): a sampled source must satisfy time[src] <= time[root], and
+// computation trees of different roots stay disjoint — relabeling is
+// keyed (node, root), so a node may appear once per seed.
+//
+// Same flattened encoding as hetero_neighbor_sample plus per-type node
+// times: type t's times at time_cat[time_off[t] ..) when has_time[t].
+// Two-phase like the others.
+// ---------------------------------------------------------------------
+void hetero_temporal_neighbor_sample(
+    int64_t n_types, int64_t n_rels, int64_t num_hops,
+    const int64_t *rel_src, const int64_t *rel_dst,
+    const int64_t *colptr_cat, const int64_t *colptr_off,
+    const int64_t *row_cat, const int64_t *row_off,
+    const int64_t *inputs_cat, const int64_t *inputs_off,
+    const int64_t *budgets, const int64_t *time_cat,
+    const int64_t *time_off, const int32_t *has_time, int32_t replace,
+    int32_t directed, uint64_t seed, int64_t *counts,
+    int64_t *out_nodes_cat, int64_t *out_rows_cat, int64_t *out_cols_cat,
+    int64_t *out_eids_cat) {
+  const bool count_only = out_nodes_cat == nullptr;
+  Rng rng;
+  rng_seed(&rng, seed);
+  const int64_t INT64_MAX_T = INT64_C(0x7fffffffffffffff);
+
+  const int64_t n_roots = inputs_off[n_types];  // one root per input node
+  std::vector<std::vector<int64_t>> samples(n_types);
+  std::vector<std::vector<int64_t>> root_time(n_types), root_id(n_types);
+  // (node, root) -> local id, keyed node * n_roots + root.
+  std::vector<std::unordered_map<int64_t, int64_t>> to_local(n_types);
+
+  int64_t root_counter = 0;
+  for (int64_t t = 0; t < n_types; t++) {
+    for (int64_t i = inputs_off[t]; i < inputs_off[t + 1]; i++) {
+      const int64_t v = inputs_cat[i];
+      const int64_t tm =
+          has_time[t] ? time_cat[time_off[t] + v] : INT64_MAX_T;
+      to_local[t][v * n_roots + root_counter] =
+          (int64_t)samples[t].size();
+      samples[t].push_back(v);
+      root_time[t].push_back(tm);
+      root_id[t].push_back(root_counter);
+      root_counter++;
+    }
+  }
+
+  std::vector<std::vector<int64_t>> rows(n_rels), cols(n_rels),
+      eids(n_rels);
+  std::vector<int64_t> begin(n_types, 0), end(n_types);
+  for (int64_t t = 0; t < n_types; t++) end[t] = (int64_t)samples[t].size();
+
+  std::vector<int64_t> ok;
+  for (int64_t ell = 0; ell < num_hops; ell++) {
+    for (int64_t r = 0; r < n_rels; r++) {
+      const int64_t st = rel_src[r], dt = rel_dst[r];
+      const int64_t budget = budgets[r * num_hops + ell];
+      const int64_t *cp = colptr_cat + colptr_off[r];
+      const int64_t *rw = row_cat + row_off[r];
+      const int64_t *src_time =
+          has_time[st] ? time_cat + time_off[st] : nullptr;
+
+      for (int64_t i = begin[dt]; i < end[dt]; i++) {
+        const int64_t w = samples[dt][i];
+        const int64_t t_root = root_time[dt][i];
+        const int64_t root = root_id[dt][i];
+        const int64_t start = cp[w], deg = cp[w + 1] - cp[w];
+        if (deg == 0) continue;
+        ok.clear();
+        for (int64_t j = 0; j < deg; j++) {
+          if (!src_time || src_time[rw[start + j]] <= t_root)
+            ok.push_back(j);
+        }
+        const int64_t n_ok = (int64_t)ok.size();
+        if (n_ok == 0) continue;
+
+        auto visit = [&](int64_t oj) {
+          const int64_t e = start + ok[oj];
+          const int64_t v = rw[e];
+          auto res = to_local[st].emplace(v * n_roots + root,
+                                          (int64_t)samples[st].size());
+          if (res.second) {
+            samples[st].push_back(v);
+            root_time[st].push_back(t_root);
+            root_id[st].push_back(root);
+          }
+          if (directed) {
+            rows[r].push_back(res.first->second);
+            cols[r].push_back(i);
+            eids[r].push_back(e);
+          }
+        };
+
+        if (budget < 0 || (!replace && budget >= n_ok)) {
+          for (int64_t j = 0; j < n_ok; j++) visit(j);
+        } else if (replace) {
+          for (int64_t j = 0; j < budget; j++)
+            visit(rng_below(&rng, n_ok));
+        } else {
+          std::unordered_set<int64_t> perm;
+          for (int64_t j = n_ok - budget; j < n_ok; j++) {
+            int64_t rnd = rng_below(&rng, j);
+            if (!perm.insert(rnd).second) {
+              rnd = j;
+              perm.insert(j);
+            }
+            visit(rnd);
+          }
+        }
+      }
+    }
+    for (int64_t t = 0; t < n_types; t++) {
+      begin[t] = end[t];
+      end[t] = (int64_t)samples[t].size();
+    }
+  }
+
+  for (int64_t t = 0; t < n_types; t++)
+    counts[t] = (int64_t)samples[t].size();
+  for (int64_t r = 0; r < n_rels; r++)
+    counts[n_types + r] = (int64_t)rows[r].size();
+
+  if (!count_only) {
+    int64_t npos = 0, epos = 0;
+    for (int64_t t = 0; t < n_types; t++) {
+      std::memcpy(out_nodes_cat + npos, samples[t].data(),
+                  samples[t].size() * sizeof(int64_t));
+      npos += (int64_t)samples[t].size();
+    }
+    for (int64_t r = 0; r < n_rels; r++) {
+      std::memcpy(out_rows_cat + epos, rows[r].data(),
+                  rows[r].size() * sizeof(int64_t));
+      std::memcpy(out_cols_cat + epos, cols[r].data(),
+                  cols[r].size() * sizeof(int64_t));
+      std::memcpy(out_eids_cat + epos, eids[r].data(),
+                  eids[r].size() * sizeof(int64_t));
+      epos += (int64_t)rows[r].size();
+    }
+  }
+}
+
 int64_t sparse_tpu_native_abi_version() { return 1; }
 
 }  // extern "C"

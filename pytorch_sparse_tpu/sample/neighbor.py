@@ -240,18 +240,37 @@ def hetero_temporal_neighbor_sample(
     ``neighbor_sample_cpu.cpp:119-130``), and computation trees of
     different roots stay disjoint — node ids are keyed (node, root), so
     the same original node may appear once per seed."""
-    rng = as_generator(seed)
     colptr_np = {k: _as_np(v) for k, v in colptr_dict.items()}
     row_np = {k: _as_np(v) for k, v in row_dict.items()}
     time_np = {k: _as_np(v) for k, v in node_time_dict.items()}
 
+    from ..csrc import bindings
+
+    if bindings.available():
+        native_seed = seed if isinstance(seed, int) else 0
+        rel_keys = [_rel_key(et) for et in edge_types]
+        out = bindings.hetero_temporal_neighbor_sample(
+            list(node_types), rel_keys, colptr_np, row_np,
+            {nt: _as_np(v) for nt, v in input_node_dict.items()},
+            {k: list(num_neighbors_dict[k]) for k in rel_keys},
+            time_np, num_hops, replace, directed, native_seed,
+        )
+        samples_n, rows_n, cols_n, edges_n = out
+        return (
+            {nt: to_index_array(v) for nt, v in samples_n.items()},
+            {k: to_index_array(v) for k, v in rows_n.items()},
+            {k: to_index_array(v) for k, v in cols_n.items()},
+            {k: to_index_array(v) for k, v in edges_n.items()},
+        )
+
+    rng = as_generator(seed)
     # samples[nt]: list of (node, root_time); to_local keyed (node, root_id)
     samples = {nt: [] for nt in node_types}
     root_time = {nt: [] for nt in node_types}
     to_local = {nt: {} for nt in node_types}
     root_counter = 0
-    for nt, nodes in input_node_dict.items():
-        for v in _as_np(nodes).tolist():
+    for nt in node_types:  # fixed type order (matches the native kernel)
+        for v in _as_np(input_node_dict.get(nt, np.zeros(0))).tolist():
             t = int(time_np[nt][v]) if nt in time_np else np.iinfo(np.int64).max
             to_local[nt][(v, root_counter)] = len(samples[nt])
             samples[nt].append(v)

@@ -95,3 +95,35 @@ def test_hetero_neighbor_full_parity(monkeypatch):
         assert set(dn.keys()) == set(df.keys())
         for k in dn:
             assert dn[k].tolist() == df[k].tolist(), k
+
+
+def test_hetero_temporal_full_parity(monkeypatch):
+    rng = np.random.RandomState(2)
+    N = {"x": 40, "y": 30}
+    node_types = ["x", "y"]
+    edge_types = [("x", "to", "y"), ("y", "to", "x")]
+    colptr, rowd = {}, {}
+    for (s, t, d) in edge_types:
+        E = 150
+        key = f"{s}__{t}__{d}"
+        col = np.sort(rng.randint(0, N[d], E))
+        cp = np.zeros(N[d] + 1, np.int64)
+        np.add.at(cp, col + 1, 1)
+        colptr[key] = jnp.asarray(np.cumsum(cp))
+        rowd[key] = jnp.asarray(rng.randint(0, N[s], E))
+    times = {nt: jnp.asarray(rng.randint(0, 10, N[nt])) for nt in node_types}
+    seeds = {"x": jnp.asarray([0, 3, 7])}
+    nn = {k: [-1, -1] for k in colptr}
+
+    native = ts.hetero_temporal_neighbor_sample(
+        node_types, edge_types, colptr, rowd, seeds, nn, times,
+        num_hops=2, replace=False, directed=True, seed=5,
+    )
+    _force_fallback(monkeypatch)
+    fallback = ts.hetero_temporal_neighbor_sample(
+        node_types, edge_types, colptr, rowd, seeds, nn, times,
+        num_hops=2, replace=False, directed=True, seed=5,
+    )
+    for dn, df in zip(native, fallback):
+        for k in dn:
+            assert dn[k].tolist() == df[k].tolist(), k
