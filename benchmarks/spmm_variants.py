@@ -120,14 +120,26 @@ VARIANTS = {
 }
 
 
-def bench(fn, args, iters=20):
+def bench(fn, args, iters=20, backward=False):
     from timing import device_time
 
     row, col, value, mat, M = args
     del iters
     if mat.shape[0] != M:
         raise ValueError("timing chain needs square operand")
-    return device_time(lambda m: fn(row, col, value, m, M), mat)
+    if not backward:
+        return device_time(lambda m: fn(row, col, value, m, M), mat)
+
+    # forward + grads wrt (value, mat), the reference's optional backward
+    # timing (benchmark/main.py:74-79).
+    def step(m):
+        def loss(v, mm):
+            return jnp.sum(fn(row, col, v, mm, M) ** 2)
+
+        gv, gm = jax.grad(loss, argnums=(0, 1))(value, m)
+        return gm + m * 0
+
+    return device_time(step, mat)
 
 
 def main():
@@ -137,6 +149,8 @@ def main():
     p.add_argument("--K", type=int, nargs="+", default=[32, 128, 512])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--variants", nargs="+", default=list(VARIANTS))
+    p.add_argument("--backward", action="store_true",
+                   help="time forward+backward (grads wrt value and mat)")
     args = p.parse_args()
 
     row, col, value = make_graph(args.M, args.E)
@@ -163,7 +177,8 @@ def main():
                 ok = bool(
                     jnp.allclose(out, ref, atol=1e-2 * K)
                 )
-            dt = bench(fn, (row, col, value, mat, args.M), args.iters)
+            dt = bench(fn, (row, col, value, mat, args.M), args.iters,
+                       backward=args.backward)
             nnzs = args.E / dt
             # bandwidth model: col+value+row reads, mat gather (E*K*4 no
             # reuse), out write (M*K*4)
