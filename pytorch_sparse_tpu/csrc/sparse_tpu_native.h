@@ -1,0 +1,103 @@
+// Public C ABI of libsparse_tpu_native — the host-side sampling /
+// partitioning kernels of pytorch_sparse_tpu (the analogue of the
+// reference's C++ consumer API, csrc/sparse.h:1-76 + CMake package).
+//
+// Conventions:
+//  * All index arrays are int64, caller-allocated.
+//  * Functions with data-dependent output sizes use a two-phase
+//    protocol: call once with the output pointers NULL to receive
+//    counts, allocate, call again (deterministic for a fixed seed).
+//  * Random draws use xoshiro256** seeded per call: same seed =>
+//    identical output.
+
+#pragma once
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+// ABI version; must match pytorch_sparse_tpu.csrc.ABI_VERSION.
+int64_t sparse_tpu_native_abi_version(void);
+
+// One-hop sampled bipartite adjacency (GraphSAGE loader primitive).
+// Caller sizes outputs exactly; returns the n_id count.
+int64_t sample_adj(const int64_t *rowptr, const int64_t *col,
+                   int64_t n_nodes, const int64_t *idx, int64_t n_idx,
+                   int64_t num_neighbors, int32_t replace, uint64_t seed,
+                   int64_t *out_rowptr, int64_t *out_col,
+                   int64_t *out_eid, int64_t *n_id);
+
+// Multi-hop CSC-driven neighbor sampling (homogeneous). Two-phase:
+// counts[0]=n_samples, counts[1]=n_edges.
+void neighbor_sample(const int64_t *colptr, const int64_t *row,
+                     int64_t n_nodes, const int64_t *input_node,
+                     int64_t n_input, const int64_t *num_neighbors,
+                     int64_t num_hops, int32_t replace, int32_t directed,
+                     uint64_t seed, int64_t *counts, int64_t *out_nodes,
+                     int64_t *out_rows, int64_t *out_cols,
+                     int64_t *out_edges);
+
+// Typed-graph multi-hop sampling over a flattened relation encoding.
+// Two-phase: counts[0..T) node counts, counts[T..T+R) edge counts.
+void hetero_neighbor_sample(
+    int64_t n_types, int64_t n_rels, int64_t num_hops,
+    const int64_t *rel_src, const int64_t *rel_dst,
+    const int64_t *colptr_cat, const int64_t *colptr_off,
+    const int64_t *row_cat, const int64_t *row_off,
+    const int64_t *inputs_cat, const int64_t *inputs_off,
+    const int64_t *budgets, int32_t replace, int32_t directed,
+    uint64_t seed, int64_t *counts, int64_t *out_nodes_cat,
+    int64_t *out_rows_cat, int64_t *out_cols_cat, int64_t *out_eids_cat);
+
+// Temporal variant: per-type node times, time[src] <= time[root],
+// (node, root)-keyed disjoint computation trees.
+void hetero_temporal_neighbor_sample(
+    int64_t n_types, int64_t n_rels, int64_t num_hops,
+    const int64_t *rel_src, const int64_t *rel_dst,
+    const int64_t *colptr_cat, const int64_t *colptr_off,
+    const int64_t *row_cat, const int64_t *row_off,
+    const int64_t *inputs_cat, const int64_t *inputs_off,
+    const int64_t *budgets, const int64_t *time_cat,
+    const int64_t *time_off, const int32_t *has_time, int32_t replace,
+    int32_t directed, uint64_t seed, int64_t *counts,
+    int64_t *out_nodes_cat, int64_t *out_rows_cat, int64_t *out_cols_cat,
+    int64_t *out_eids_cat);
+
+// Per-seed k-hop ego nets, block-diagonally stitched. Two-phase:
+// counts[0]=total nodes, counts[1]=total edges.
+void ego_k_hop(const int64_t *rowptr, const int64_t *col, int64_t n_nodes,
+               const int64_t *seeds, int64_t n_seeds, int64_t depth,
+               int64_t num_neighbors, int32_t replace, uint64_t seed,
+               int64_t *counts, int64_t *out_row, int64_t *out_col,
+               int64_t *out_eid, int64_t *out_nid, int64_t *out_ptr,
+               int64_t *out_root);
+
+// Node-induced subgraph. Two-phase: counts[0] = kept edges.
+void saint_subgraph(const int64_t *rowptr, const int64_t *col,
+                    int64_t n_nodes, const int64_t *idx, int64_t n_idx,
+                    int64_t *counts, int64_t *out_row, int64_t *out_col,
+                    int64_t *out_eid);
+
+// Full 1-hop relabel of a frontier. Returns the n_id count.
+int64_t relabel_one_hop(const int64_t *rowptr, const int64_t *col,
+                        const int64_t *idx, int64_t n_idx,
+                        int64_t *out_rowptr, int64_t *out_col,
+                        int64_t *out_eid, int64_t *n_id);
+
+// Uniform random walks; out is (n_starts, walk_length + 1).
+void random_walk(const int64_t *rowptr, const int64_t *col,
+                 const int64_t *start, int64_t n_start,
+                 int64_t walk_length, uint64_t seed, int64_t *out);
+
+// Greedy + refinement k-way graph partition (METIS-shaped output:
+// cluster id per node). Returns the achieved edge cut.
+int64_t partition_refine(const int64_t *rowptr, const int64_t *col,
+                         int64_t n_nodes, int64_t *cluster,
+                         const double *node_weight, int64_t n_parts,
+                         int64_t n_iters, double imbalance);
+
+#ifdef __cplusplus
+}  // extern "C"
+#endif
