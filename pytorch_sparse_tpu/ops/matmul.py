@@ -379,8 +379,11 @@ def _spspmm_structure(A: SparseTensor, B: SparseTensor):
     out_row = rowA[a_pos]
     out_col = colB[b_pos]
 
-    # Coalesce structure: sort by (row, col), dedupe.
-    order = np.lexsort((out_col, out_row))
+    # Coalesce structure: sort by (row, col) via a single fused int64
+    # key (~2x faster than lexsort at multi-million terms), dedupe.
+    P_cols = B.sparse_size(1)
+    key = out_row.astype(np.int64) * P_cols + out_col
+    order = np.argsort(key, kind="stable")
     out_row, out_col = out_row[order], out_col[order]
     a_pos, b_pos = a_pos[order], b_pos[order]
     if total > 0:
@@ -408,9 +411,11 @@ def _spspmm_structure(A: SparseTensor, B: SparseTensor):
             continue
         R = sel.size
         tab = np.full((R, cap), total, dtype=np.int64)  # sentinel pad
-        for j in range(cap):
-            m = j < t_cnt[sel]
-            tab[m, j] = t_start[sel][m] + j
+        # O(terms) fill: flat (bucket-row, slot) coordinates.
+        ln = t_cnt[sel]
+        rix = np.repeat(np.arange(R), ln)
+        off = np.arange(rix.shape[0]) - np.repeat(np.cumsum(ln) - ln, ln)
+        tab[rix, off] = np.repeat(t_start[sel], ln) + off
         t_tabs.append(jnp.asarray(tab.astype(np.int32)))
         parts.append(sel)
     out_perm = (
