@@ -316,6 +316,85 @@ def ell_edge_dot(
     return jnp.take(flat, ell.edge_slot, axis=0)
 
 
+def ell_minmax_bwd(
+    ell: EllFormat,
+    ell_t: EllFormat,
+    col: jnp.ndarray,
+    value: Optional[jnp.ndarray],
+    mat: jnp.ndarray,
+    arg: jnp.ndarray,
+    grad: jnp.ndarray,
+):
+    """Scatter-free backward for min/max SpMM.
+
+    The reference scatters ``grad`` through the argout and then scatters
+    per-edge contributions into ``grad_mat`` (``csrc/spmm.cpp:204-303``).
+    Here both passes are gathers: per-bucket slots test
+    ``arg[row, k] == eid`` to route the gradient, and the transpose ELL
+    groups the per-edge results by column for ``grad_mat``.
+    """
+    E = ell.E
+    K = grad.shape[1]
+
+    # tmp[e, k] = grad[row_e, k] if arg[row_e, k] == e else 0, in slot
+    # layout, then gathered back to edge order via edge_slot.
+    arg_pad = jnp.concatenate(
+        [arg, jnp.full((1, K), -1, arg.dtype)], axis=0
+    )
+    grad_pad = jnp.concatenate([grad, jnp.zeros((1, K), grad.dtype)])
+    parts = []
+    for eids, rows in zip(ell.eids, ell.rows):
+        a = jnp.take(arg_pad, rows, axis=0)       # (R, K)
+        g = jnp.take(grad_pad, rows, axis=0)      # (R, K)
+        R, cap = eids.shape
+        step = _chunk_cols(R, cap, K)
+        chunks = []
+        for s in range(0, cap, step):
+            e = min(s + step, cap)
+            hit = a[:, None, :] == eids[:, s:e, None]   # (R, c, K)
+            chunks.append(jnp.where(hit, g[:, None, :], 0.0))
+        rc = chunks[0] if len(chunks) == 1 else jnp.concatenate(
+            chunks, axis=1
+        )
+        parts.append(rc.reshape(-1, K))
+    if parts:
+        flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        tmp = jnp.take(flat, ell.edge_slot, axis=0)   # (E, K) edge order
+    else:
+        tmp = jnp.zeros((E, K), grad.dtype)
+
+    grad_value = None
+    if value is not None:
+        grad_value = jnp.sum(
+            tmp * jnp.take(mat, col, axis=0), axis=-1
+        ).astype(value.dtype)
+        tmp = tmp * value[:, None].astype(tmp.dtype)
+
+    # grad_mat[c] = sum over edges with col == c of tmp[e]; the transpose
+    # ELL groups edges by column.
+    tmp_pad = jnp.concatenate([tmp, jnp.zeros((1, K), tmp.dtype)])
+    outs = []
+    for eids_t in ell_t.eids:
+        R, cap = eids_t.shape
+        step = _chunk_cols(R, cap, K)
+        acc = None
+        for s in range(0, cap, step):
+            e = min(s + step, cap)
+            part = jnp.sum(
+                jnp.take(tmp_pad, eids_t[:, s:e], axis=0), axis=1
+            )
+            acc = part if acc is None else acc + part
+        outs.append(acc)
+    if ell_t.n_zero:
+        outs.append(jnp.zeros((ell_t.n_zero, K), tmp.dtype))
+    if outs:
+        stacked = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        grad_mat = jnp.take(stacked, ell_t.inv_perm, axis=0)
+    else:
+        grad_mat = jnp.zeros((ell_t.M, K), tmp.dtype)
+    return grad_value, grad_mat.astype(mat.dtype)
+
+
 def ell_edge_softmax(ell: EllFormat, logits: jnp.ndarray) -> jnp.ndarray:
     """Numerically-stable softmax of per-edge ``logits`` (E, H) over each
     row's incident edges, scatter-free: per-bucket masked max/sum with a

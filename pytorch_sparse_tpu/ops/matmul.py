@@ -36,7 +36,9 @@ from jax import dtypes
 
 from ..storage import SparseStorage
 from ..tensor import SparseTensor
-from .kernels.ell import ell_edge_dot, ell_spmm, ell_spmm_minmax
+from .kernels.ell import (
+    ell_edge_dot, ell_minmax_bwd, ell_spmm, ell_spmm_minmax,
+)
 from .segment import segment_count, segment_mean, segment_min, segment_max, segment_sum
 
 
@@ -231,21 +233,26 @@ _ell_spmm_sum.defvjp(_ell_spmm_sum_fwd, _ell_spmm_sum_bwd)
 # csrc/spmm.cpp:204-303 (shared with the segment path).
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ell_spmm_min(is_min: bool, ellA, row, col, value, mat):
+def _ell_spmm_min(is_min: bool, ellA, ellAT, row, col, value, mat):
     return ell_spmm_minmax(ellA, value, mat, is_min)
 
 
-def _ell_spmm_min_fwd(is_min, ellA, row, col, value, mat):
+def _ell_spmm_min_fwd(is_min, ellA, ellAT, row, col, value, mat):
     out, arg = ell_spmm_minmax(ellA, value, mat, is_min)
-    return (out, arg), (ellA, row, col, value, mat, arg)
+    return (out, arg), (ellA, ellAT, row, col, value, mat, arg)
 
 
 def _ell_spmm_min_bwd(is_min, res, grads):
-    ellA, row, col, value, mat, arg = res
+    ellA, ellAT, row, col, value, mat, arg = res
     grad, _ = grads
-    grad_value, grad_mat = _minmax_bwd_common(row, col, value, mat, arg, grad)
+    grad_value, grad_mat = ell_minmax_bwd(
+        ellA, ellAT, col, value, mat, arg, grad
+    )
     zeros = partial(jax.tree_util.tree_map, _int_zero)
-    return (zeros(ellA), _int_zero(row), _int_zero(col), grad_value, grad_mat)
+    return (
+        zeros(ellA), zeros(ellAT), _int_zero(row), _int_zero(col),
+        grad_value, grad_mat,
+    )
 
 
 _ell_spmm_min.defvjp(_ell_spmm_min_fwd, _ell_spmm_min_bwd)
@@ -311,12 +318,13 @@ def spmm_mean(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
 def _spmm_minmax_dispatch(src, other, is_min):
     row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
     M = src.sparse_size(0)
-    ellA = src.storage.ell()
-    if ellA is not None:
+    views = _ell_views(src)
+    if views is not None:
+        ellA, ellAT = views
         if other.ndim == 2:
-            return _ell_spmm_min(is_min, ellA, row, col, value, other)
+            return _ell_spmm_min(is_min, ellA, ellAT, row, col, value, other)
         return jax.vmap(
-            lambda m: _ell_spmm_min(is_min, ellA, row, col, value, m)
+            lambda m: _ell_spmm_min(is_min, ellA, ellAT, row, col, value, m)
         )(other)
     fn = _spmm_min if is_min else _spmm_max
     if other.ndim == 2:
