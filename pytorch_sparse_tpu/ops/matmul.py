@@ -389,9 +389,28 @@ def _spspmm_structure(A: SparseTensor, B: SparseTensor):
 
     # Coalesce structure: sort by (row, col) via a single fused int64
     # key (~2x faster than lexsort at multi-million terms), dedupe.
+    # A-rows are already major-sorted, so sorting each bounded chunk of
+    # complete rows independently yields a globally sorted order while
+    # keeping the sort working set (and its k log k cost) bounded.
     P_cols = B.sparse_size(1)
     key = out_row.astype(np.int64) * P_cols + out_col
-    order = np.argsort(key, kind="stable")
+    CHUNK = 1 << 25  # ~32M terms per sort
+    if total > CHUNK:
+        # chunk boundaries at complete-row edges
+        row_change = np.flatnonzero(
+            np.concatenate([[True], out_row[1:] != out_row[:-1]])
+        )
+        order = np.empty(total, np.int64)
+        s = 0
+        while s < total:
+            e = min(s + CHUNK, total)
+            if e < total:  # extend to the next complete-row boundary
+                ip = np.searchsorted(row_change, e)
+                e = int(row_change[ip]) if ip < row_change.size else total
+            order[s:e] = s + np.argsort(key[s:e], kind="stable")
+            s = e
+    else:
+        order = np.argsort(key, kind="stable")
     out_row, out_col = out_row[order], out_col[order]
     a_pos, b_pos = a_pos[order], b_pos[order]
     if total > 0:
