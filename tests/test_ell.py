@@ -228,3 +228,20 @@ def test_ell_edge_softmax_matches_segment():
     a1 = ell_edge_softmax(A.storage.ell(), logits)
     a2 = edge_softmax(A.storage.row(), logits, 45)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "min", "max"])
+def test_batched_spmm(reduce):
+    """Batched dense operand (B, N, K) — reference spmm kernels accept a
+    batch dim (cpu/spmm_cpu.cpp:45)."""
+    M, N, E, B, K = 30, 25, 150, 3, 8
+    A = _random_graph(M, N, E, seed=23)
+    rng = np.random.RandomState(6)
+    mats = jnp.asarray(rng.randn(B, N, K).astype(np.float32))
+    out = A.spmm(mats, reduce)
+    assert out.shape == (B, M, K)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(out[b]), np.asarray(A.spmm(mats[b], reduce)),
+            atol=1e-5,
+        )
