@@ -46,13 +46,15 @@ def _chunk_cols(R: int, cap: int, K: int) -> int:
     return max(1, min(cap, _CHUNK_ELEMS // max(R * K, 1)))
 
 
-def _choose_caps(deg: np.ndarray, max_buckets: int = _MAX_BUCKETS):
+def _choose_caps(deg: np.ndarray, max_buckets: int = None):
     """Bucket widths minimizing total padded slots.
 
     Buckets are contiguous ranges of the sorted nonzero degrees; a range
     ending at unique degree ``u_j`` costs ``u_j * (#rows in range)``.
     Exact DP over unique degrees (O(U^2 B), U is small for real graphs).
     """
+    if max_buckets is None:
+        max_buckets = _MAX_BUCKETS
     deg = deg[deg > 0]
     if deg.size == 0:
         return []
