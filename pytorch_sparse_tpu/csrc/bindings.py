@@ -41,6 +41,30 @@ def available() -> bool:
     return lib is not None
 
 
+def multilevel_partition(
+    rowptr: np.ndarray, col: np.ndarray, num_parts: int,
+    node_weight: Optional[np.ndarray] = None, seed: int = 1,
+    imbalance: float = 0.05,
+) -> Tuple[np.ndarray, int]:
+    """METIS-style multilevel k-way partition; returns (cluster, cut)."""
+    n = rowptr.shape[0] - 1
+    cluster = np.empty(n, np.int64)
+    nw = (
+        np.ascontiguousarray(node_weight, np.float64)
+        if node_weight is not None else None
+    )
+    lib.multilevel_partition.restype = ctypes.c_int64
+    cut = lib.multilevel_partition(
+        _p(np.ascontiguousarray(rowptr, np.int64)),
+        _p(np.ascontiguousarray(col, np.int64)),
+        ctypes.c_int64(n),
+        _pd(nw) if nw is not None else None,
+        ctypes.c_int64(num_parts), ctypes.c_uint64(seed),
+        ctypes.c_double(imbalance), _p(cluster),
+    )
+    return cluster, int(cut)
+
+
 def sample_adj(
     rowptr: np.ndarray, col: np.ndarray, idx: np.ndarray,
     num_neighbors: int, replace: bool, seed: int,

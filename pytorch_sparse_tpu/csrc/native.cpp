@@ -359,6 +359,221 @@ int64_t partition_refine(const int64_t *rowptr, const int64_t *col,
   return total_moves;
 }
 
+// ---------------------------------------------------------------------
+// multilevel_partition: METIS-style k-way partitioning (reference binds
+// libmetis, csrc/cpu/metis_cpu.cpp:13-62; libmetis is not vendorable
+// offline, so this is the same algorithmic family implemented directly):
+//   1. coarsen by heavy-edge matching until the graph is small,
+//   2. initial partition by weight-balanced BFS region growing,
+//   3. uncoarsen, refining at every level with an edge-weighted
+//      boundary sweep under a balance constraint.
+// Returns the achieved edge cut (sum of cut edge weights, each
+// direction counted once for symmetric inputs).
+// ---------------------------------------------------------------------
+namespace {
+
+struct CoarseGraph {
+  std::vector<int64_t> rowptr, col, ew;
+  std::vector<double> nw;
+};
+
+// Edge-weighted boundary refinement under a balance limit.
+void refine_level(const std::vector<int64_t> &rowptr,
+                  const std::vector<int64_t> &col,
+                  const std::vector<int64_t> &ew,
+                  const std::vector<double> &nw,
+                  std::vector<int64_t> &cluster, int64_t num_parts,
+                  double limit, int64_t passes) {
+  const int64_t n = (int64_t)nw.size();
+  std::vector<double> part_w(num_parts, 0.0);
+  for (int64_t v = 0; v < n; v++) part_w[cluster[v]] += nw[v];
+  std::vector<int64_t> gain(num_parts, 0);
+  for (int64_t pass = 0; pass < passes; pass++) {
+    int64_t moves = 0;
+    for (int64_t v = 0; v < n; v++) {
+      const int64_t p = cluster[v];
+      const int64_t start = rowptr[v], end = rowptr[v + 1];
+      if (end == start) continue;
+      std::fill(gain.begin(), gain.end(), 0);
+      for (int64_t e = start; e < end; e++)
+        gain[cluster[col[e]]] += ew[e];
+      int64_t q = p;
+      for (int64_t t = 0; t < num_parts; t++) {
+        if (t == p) continue;
+        if (gain[t] > gain[q] ||
+            (q != p && gain[t] == gain[q] && part_w[t] < part_w[q]))
+          q = t;
+      }
+      if (q == p || gain[q] <= gain[p]) continue;
+      if (part_w[q] + nw[v] > limit) continue;
+      cluster[v] = q;
+      part_w[p] -= nw[v];
+      part_w[q] += nw[v];
+      moves++;
+    }
+    if (moves == 0) break;
+  }
+}
+
+}  // namespace
+
+int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
+                             int64_t n_nodes, const double *node_w,
+                             int64_t num_parts, uint64_t seed,
+                             double imbalance, int64_t *cluster_out) {
+  Rng rng;
+  rng_seed(&rng, seed ? seed : 1);
+
+  // Level 0 copies the input with unit edge weights.
+  std::vector<CoarseGraph> levels(1);
+  levels[0].rowptr.assign(rowptr_in, rowptr_in + n_nodes + 1);
+  levels[0].col.assign(col_in, col_in + rowptr_in[n_nodes]);
+  levels[0].ew.assign(rowptr_in[n_nodes], 1);
+  levels[0].nw.resize(n_nodes);
+  double total_w = 0.0;
+  for (int64_t v = 0; v < n_nodes; v++) {
+    levels[0].nw[v] = node_w ? node_w[v] : 1.0;
+    total_w += levels[0].nw[v];
+  }
+  const double limit = (1.0 + imbalance) * total_w / (double)num_parts;
+  const int64_t coarse_target =
+      std::max<int64_t>(128, 24 * num_parts);
+
+  std::vector<std::vector<int64_t>> cmaps;  // fine node -> coarse node
+  while ((int64_t)levels.back().nw.size() > coarse_target) {
+    const CoarseGraph &g = levels.back();
+    const int64_t n = (int64_t)g.nw.size();
+    // Heavy-edge matching in random visit order.
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; i++) order[i] = i;
+    for (int64_t i = n - 1; i > 0; i--)
+      std::swap(order[i], order[rng_below(&rng, i + 1)]);
+    std::vector<int64_t> match(n, -1);
+    for (const int64_t v : order) {
+      if (match[v] >= 0) continue;
+      int64_t best = -1, best_w = -1;
+      for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1]; e++) {
+        const int64_t u = g.col[e];
+        if (u == v || match[u] >= 0) continue;
+        if (g.ew[e] > best_w) {
+          best_w = g.ew[e];
+          best = u;
+        }
+      }
+      match[v] = best >= 0 ? best : v;
+      if (best >= 0) match[best] = v;
+    }
+    // Coarse ids.
+    std::vector<int64_t> cmap(n, -1);
+    int64_t nc = 0;
+    for (int64_t v = 0; v < n; v++) {
+      if (cmap[v] >= 0) continue;
+      cmap[v] = nc;
+      cmap[match[v]] = nc;  // match[v] == v for unmatched
+      nc++;
+    }
+    if (nc >= n * 9 / 10) break;  // matching stalled
+    // Build the coarse graph.
+    CoarseGraph cg;
+    cg.nw.assign(nc, 0.0);
+    for (int64_t v = 0; v < n; v++) cg.nw[cmap[v]] += g.nw[v];
+    std::vector<std::unordered_map<int64_t, int64_t>> adj(nc);
+    for (int64_t v = 0; v < n; v++) {
+      const int64_t cv = cmap[v];
+      for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1]; e++) {
+        const int64_t cu = cmap[g.col[e]];
+        if (cu != cv) adj[cv][cu] += g.ew[e];
+      }
+    }
+    cg.rowptr.assign(nc + 1, 0);
+    for (int64_t c = 0; c < nc; c++)
+      cg.rowptr[c + 1] = cg.rowptr[c] + (int64_t)adj[c].size();
+    cg.col.resize(cg.rowptr[nc]);
+    cg.ew.resize(cg.rowptr[nc]);
+    for (int64_t c = 0; c < nc; c++) {
+      int64_t pos = cg.rowptr[c];
+      for (const auto &kv : adj[c]) {
+        cg.col[pos] = kv.first;
+        cg.ew[pos] = kv.second;
+        pos++;
+      }
+    }
+    cmaps.push_back(std::move(cmap));
+    levels.push_back(std::move(cg));
+  }
+
+  // Initial partition on the coarsest graph: weight-balanced BFS region
+  // growing from random seeds.
+  {
+    CoarseGraph &g = levels.back();
+    const int64_t n = (int64_t)g.nw.size();
+    std::vector<int64_t> cl(n, -1);
+    const double target = total_w / (double)num_parts;
+    std::vector<int64_t> queue;
+    int64_t assigned = 0;
+    for (int64_t p = 0; p < num_parts && assigned < n; p++) {
+      double w = 0.0;
+      // seed: first unassigned node (randomized start offset)
+      int64_t s = rng_below(&rng, n);
+      for (int64_t i = 0; i < n; i++) {
+        const int64_t v = (s + i) % n;
+        if (cl[v] < 0) {
+          s = v;
+          break;
+        }
+      }
+      queue.clear();
+      queue.push_back(s);
+      cl[s] = p;
+      assigned++;
+      w += g.nw[s];
+      for (size_t qi = 0; qi < queue.size() && w < target; qi++) {
+        const int64_t v = queue[qi];
+        for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1] && w < target;
+             e++) {
+          const int64_t u = g.col[e];
+          if (cl[u] >= 0) continue;
+          cl[u] = p;
+          assigned++;
+          w += g.nw[u];
+          queue.push_back(u);
+        }
+      }
+      if (p == num_parts - 1) {
+        for (int64_t v = 0; v < n; v++)
+          if (cl[v] < 0) {
+            cl[v] = p;
+            assigned++;
+          }
+      }
+    }
+    for (int64_t v = 0; v < n; v++)
+      if (cl[v] < 0) cl[v] = num_parts - 1;
+    refine_level(g.rowptr, g.col, g.ew, g.nw, cl, num_parts, limit, 8);
+    // Stash on the coarsest level via cluster_out scratch.
+    levels.back().rowptr.shrink_to_fit();
+    // Project back through the levels.
+    std::vector<int64_t> cur = std::move(cl);
+    for (int64_t li = (int64_t)cmaps.size() - 1; li >= 0; li--) {
+      const std::vector<int64_t> &cmap = cmaps[li];
+      std::vector<int64_t> fine(cmap.size());
+      for (size_t v = 0; v < cmap.size(); v++) fine[v] = cur[cmap[v]];
+      CoarseGraph &fg = levels[li];
+      refine_level(fg.rowptr, fg.col, fg.ew, fg.nw, fine, num_parts,
+                   limit, li == 0 ? 4 : 2);
+      cur = std::move(fine);
+    }
+    for (int64_t v = 0; v < n_nodes; v++) cluster_out[v] = cur[v];
+  }
+
+  // Edge cut on the original graph.
+  int64_t cut = 0;
+  for (int64_t v = 0; v < n_nodes; v++)
+    for (int64_t e = rowptr_in[v]; e < rowptr_in[v + 1]; e++)
+      if (cluster_out[v] != cluster_out[col_in[e]]) cut++;
+  return cut / 2;
+}
+
 // Version tag for the loader.
 // ---------------------------------------------------------------------
 // ego_k_hop: per-seed k-hop BFS with a per-node neighbor cap, induced

@@ -90,6 +90,19 @@ def partition_fn(
     """Cluster assignment per node (the native-op analogue of
     ``torch_sparse::partition``, ``metis_cpu.cpp:13-62``)."""
     n = rowptr.shape[0] - 1
+
+    from ..csrc import bindings
+
+    if refine and num_parts > 1 and bindings.available():
+        # METIS-style multilevel partitioner (heavy-edge matching +
+        # BFS region growing + edge-weighted refinement per level).
+        cluster, _cut = bindings.multilevel_partition(
+            rowptr, col, num_parts,
+            node_weight.astype(np.float64)
+            if node_weight is not None else None,
+        )
+        return cluster
+
     order = _rcm_order(rowptr, col, n).astype(np.int64)
     w = (
         node_weight.astype(np.float64)

@@ -59,3 +59,40 @@ def test_partition_locality():
     r, c, _ = out.coo()
     assert not bool(((r < 8) & (c >= 8)).any())
     assert not bool(((r >= 8) & (c < 8)).any())
+
+
+def test_multilevel_recovers_planted_partition():
+    """Stochastic-block-model quality check: the multilevel partitioner
+    must find a cut close to the planted one (RCM chunking gets ~27%)."""
+    import numpy as np
+    import pytest
+
+    from pytorch_sparse_tpu.csrc import bindings
+
+    if not bindings.available():
+        pytest.skip("native library not built")
+
+    rng = np.random.RandomState(0)
+    B, NB = 4, 1000
+    N = B * NB
+    rows, cols = [], []
+    for b in range(B):
+        base = b * NB
+        rows.append(rng.randint(0, NB, 12_000) + base)
+        cols.append(rng.randint(0, NB, 12_000) + base)
+    rows.append(rng.randint(0, N, 2_400))
+    cols.append(rng.randint(0, N, 2_400))
+    row = np.concatenate(rows)
+    col = np.concatenate(cols)
+    row, col = np.concatenate([row, col]), np.concatenate([col, row])
+    order = np.lexsort((col, row))
+    row, col = row[order], col[order]
+    rowptr = np.zeros(N + 1, np.int64)
+    np.add.at(rowptr, row + 1, 1)
+    rowptr = np.cumsum(rowptr)
+
+    cluster, cut = bindings.multilevel_partition(rowptr, col, B)
+    frac = cut / (row.shape[0] // 2)
+    assert frac < 0.10, f"cut fraction {frac:.3f} too high"
+    sizes = np.bincount(cluster, minlength=B)
+    assert sizes.min() > 0.7 * NB, sizes
