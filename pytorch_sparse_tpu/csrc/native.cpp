@@ -593,22 +593,24 @@ void ego_k_hop(const int64_t *rowptr, const int64_t *col, int64_t n_nodes,
                int64_t *out_root) {
   (void)n_nodes;
   const bool count_only = out_row == nullptr;
-  Rng rng;
-  rng_seed(&rng, seed);
 
-  int64_t node_off = 0, edge_off = 0;
-  if (!count_only) out_ptr[0] = 0;
+  // Ego nets are independent: parallel over seeds with a per-seed RNG
+  // stream (deterministic regardless of thread schedule), then a
+  // sequential prefix to stitch block-diagonally.
+  struct PerSeed {
+    std::vector<int64_t> row, colv, eid, nid;
+    int64_t root_local = 0;
+  };
+  std::vector<PerSeed> res(n_seeds);
 
-  std::unordered_set<int64_t> visited;
-  std::vector<int64_t> frontier, next, n_ids;
-  std::unordered_map<int64_t, int64_t> assoc;
-
+#pragma omp parallel for schedule(dynamic, 8)
   for (int64_t s = 0; s < n_seeds; s++) {
-    visited.clear();
-    frontier.clear();
+    Rng rng;
+    rng_seed(&rng, seed ^ (0x9e3779b97f4a7c15ULL * (uint64_t)(s + 1)));
+    PerSeed &r = res[s];
     const int64_t root = seeds[s];
-    visited.insert(root);
-    frontier.push_back(root);
+    std::unordered_set<int64_t> visited{root};
+    std::vector<int64_t> frontier{root}, next;
 
     for (int64_t d = 0; d < depth && !frontier.empty(); d++) {
       next.clear();
@@ -637,32 +639,42 @@ void ego_k_hop(const int64_t *rowptr, const int64_t *col, int64_t n_nodes,
       frontier = next;  // already unique (visited-gated)
     }
 
-    n_ids.assign(visited.begin(), visited.end());
-    std::sort(n_ids.begin(), n_ids.end());
-    assoc.clear();
-    assoc.reserve(n_ids.size() * 2);
-    for (size_t i = 0; i < n_ids.size(); i++) assoc[n_ids[i]] = (int64_t)i;
+    r.nid.assign(visited.begin(), visited.end());
+    std::sort(r.nid.begin(), r.nid.end());
+    std::unordered_map<int64_t, int64_t> assoc;
+    assoc.reserve(r.nid.size() * 2);
+    for (size_t i = 0; i < r.nid.size(); i++) assoc[r.nid[i]] = (int64_t)i;
+    r.root_local = assoc[root];
 
-    for (size_t i = 0; i < n_ids.size(); i++) {
-      const int64_t v = n_ids[i];
+    for (size_t i = 0; i < r.nid.size(); i++) {
+      const int64_t v = r.nid[i];
       for (int64_t e = rowptr[v]; e < rowptr[v + 1]; e++) {
         const auto it = assoc.find(col[e]);
         if (it == assoc.end()) continue;
-        if (!count_only) {
-          out_row[edge_off] = node_off + (int64_t)i;
-          out_col[edge_off] = node_off + it->second;
-          out_eid[edge_off] = e;
-        }
-        edge_off++;
+        r.row.push_back((int64_t)i);
+        r.colv.push_back(it->second);
+        r.eid.push_back(e);
       }
     }
+  }
+
+  int64_t node_off = 0, edge_off = 0;
+  if (!count_only) out_ptr[0] = 0;
+  for (int64_t s = 0; s < n_seeds; s++) {
+    const PerSeed &r = res[s];
     if (!count_only) {
-      for (size_t i = 0; i < n_ids.size(); i++)
-        out_nid[node_off + (int64_t)i] = n_ids[i];
-      out_root[s] = node_off + assoc[root];
-      out_ptr[s + 1] = node_off + (int64_t)n_ids.size();
+      for (size_t i = 0; i < r.row.size(); i++) {
+        out_row[edge_off + (int64_t)i] = node_off + r.row[i];
+        out_col[edge_off + (int64_t)i] = node_off + r.colv[i];
+        out_eid[edge_off + (int64_t)i] = r.eid[i];
+      }
+      for (size_t i = 0; i < r.nid.size(); i++)
+        out_nid[node_off + (int64_t)i] = r.nid[i];
+      out_root[s] = node_off + r.root_local;
+      out_ptr[s + 1] = node_off + (int64_t)r.nid.size();
     }
-    node_off += (int64_t)n_ids.size();
+    node_off += (int64_t)r.nid.size();
+    edge_off += (int64_t)r.row.size();
   }
   counts[0] = node_off;
   counts[1] = edge_off;
