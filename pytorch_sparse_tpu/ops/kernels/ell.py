@@ -267,7 +267,14 @@ def ell_spmm(
     ``value``/``mat`` by JAX AD, though callers on the hot path should use
     the custom-VJP wrapper in ``ops/matmul.py`` which backs the
     ``grad_mat`` pass with the transpose ELL instead of a scatter.
+
+    Half-precision operands compute through f32 internally: XLA's
+    sub-512-byte-granule gathers are ~4x slower than one dense upcast,
+    and f32 accumulation is strictly more accurate.
     """
+    out_dtype = mat.dtype
+    if mat.dtype in (jnp.bfloat16, jnp.float16):
+        mat = mat.astype(jnp.float32)
     K = mat.shape[1]
     if value is not None:
         value_pad = jnp.concatenate(
@@ -283,9 +290,9 @@ def ell_spmm(
     if ell.n_zero:
         outs.append(jnp.zeros((ell.n_zero, K), mat.dtype))
     if not outs:
-        return jnp.zeros((ell.M, K), mat.dtype)
+        return jnp.zeros((ell.M, K), out_dtype)
     stacked = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    return jnp.take(stacked, ell.inv_perm, axis=0)
+    return jnp.take(stacked, ell.inv_perm, axis=0).astype(out_dtype)
 
 
 def ell_edge_dot(
