@@ -343,12 +343,28 @@ class SparseStorage:
             num_cols = total // num_rows
         assert num_rows * num_cols == total
 
-        idx = (
-            self.row().astype(jnp.int64) * self.sparse_size(1)
-            + self._col.astype(jnp.int64)
-        )
-        row = (idx // num_cols).astype(INDEX_DTYPE)
-        col = (idx % num_cols).astype(INDEX_DTYPE)
+        # Flattened-position math needs 64-bit (M*N can exceed int32);
+        # under jax_enable_x64=False a device astype(int64) silently
+        # truncates, so compute on the host in exact int64 when concrete.
+        r, c = self.row(), self._col
+        if _is_concrete(r) and _is_concrete(c):
+            import numpy as np
+
+            idx = (
+                np.asarray(r, np.int64) * self.sparse_size(1)
+                + np.asarray(c, np.int64)
+            )
+            row = _as_index(idx // num_cols)
+            col = _as_index(idx % num_cols)
+        else:
+            if self.sparse_size(0) * self.sparse_size(1) >= 2**31:
+                raise ValueError(
+                    "sparse_reshape under tracing needs M*N < 2**31 "
+                    "(enable jax_enable_x64 or reshape eagerly)"
+                )
+            idx = r * self.sparse_size(1) + c
+            row = (idx // num_cols).astype(INDEX_DTYPE)
+            col = (idx % num_cols).astype(INDEX_DTYPE)
         return SparseStorage(
             row=row, rowptr=None, col=col, value=self._value,
             sparse_sizes=(int(num_rows), int(num_cols)),

@@ -150,3 +150,22 @@ def test_sparse_reshape():
     assert storage.sparse_sizes() == (2, 8)
     assert storage.row().tolist() == [0, 0, 1, 1]
     assert storage.col().tolist() == [0, 5, 2, 7]
+
+
+def test_sparse_reshape_beyond_int32():
+    """Flattened positions exceed 2**31 (regression: device int64 casts
+    silently truncate under jax_enable_x64=False)."""
+    import jax.numpy as jnp
+
+    from pytorch_sparse_tpu import SparseTensor
+
+    M = 80_000
+    A = SparseTensor(
+        row=jnp.asarray([M - 1]), col=jnp.asarray([M - 1]),
+        value=jnp.asarray([1.0]), sparse_sizes=(M, M),
+    )
+    B = A.sparse_reshape(M * 2, M // 2)
+    r, c, _ = B.coo()
+    flat = (M - 1) * M + (M - 1)
+    assert int(r[0]) == flat // (M // 2)
+    assert int(c[0]) == flat % (M // 2)
