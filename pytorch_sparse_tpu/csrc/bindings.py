@@ -203,6 +203,72 @@ def hetero_neighbor_sample(
     return samples, rows, cols, eids
 
 
+def hgt_sample(
+    node_types, edge_types, colptr_dict, row_dict, input_dict,
+    num_samples_dict, num_hops: int, seed: int,
+):
+    """HGT layer-wise importance sampling; num_samples per node type."""
+    T, R = len(node_types), len(edge_types)
+    tindex = {t: i for i, t in enumerate(node_types)}
+    rel_src = np.empty(R, np.int64)
+    rel_dst = np.empty(R, np.int64)
+    colptr_off = np.zeros(R + 1, np.int64)
+    row_off = np.zeros(R + 1, np.int64)
+    cps, rws = [], []
+    for r, rel in enumerate(edge_types):
+        src_t, _, dst_t = rel.split("__")
+        rel_src[r], rel_dst[r] = tindex[src_t], tindex[dst_t]
+        cps.append(np.ascontiguousarray(colptr_dict[rel], np.int64))
+        rws.append(np.ascontiguousarray(row_dict[rel], np.int64))
+        colptr_off[r + 1] = colptr_off[r] + cps[-1].shape[0]
+        row_off[r + 1] = row_off[r] + rws[-1].shape[0]
+    colptr_cat = np.concatenate(cps) if cps else np.zeros(0, np.int64)
+    row_cat = np.concatenate(rws) if rws else np.zeros(0, np.int64)
+
+    inputs_off = np.zeros(T + 1, np.int64)
+    inps = []
+    num_samples = np.zeros(T * num_hops, np.int64)
+    for t, nt in enumerate(node_types):
+        arr = np.ascontiguousarray(input_dict.get(nt, np.zeros(0)), np.int64)
+        inps.append(arr)
+        inputs_off[t + 1] = inputs_off[t] + arr.shape[0]
+        ns = num_samples_dict.get(nt, [0] * num_hops)
+        num_samples[t * num_hops:(t + 1) * num_hops] = ns
+    inputs_cat = np.concatenate(inps) if inps else np.zeros(0, np.int64)
+
+    counts = np.zeros(T + R, np.int64)
+    args = (
+        ctypes.c_int64(T), ctypes.c_int64(R), ctypes.c_int64(num_hops),
+        _p(rel_src), _p(rel_dst), _p(colptr_cat), _p(colptr_off),
+        _p(row_cat), _p(row_off), _p(inputs_cat), _p(inputs_off),
+        _p(num_samples), ctypes.c_uint64(seed),
+    )
+    lib.hgt_sample(*args, _p(counts), None, None, None, None)
+    n_total = int(counts[:T].sum())
+    e_total = int(counts[T:].sum())
+    nodes_cat = np.empty(n_total, np.int64)
+    rows_cat = np.empty(e_total, np.int64)
+    cols_cat = np.empty(e_total, np.int64)
+    eids_cat = np.empty(e_total, np.int64)
+    lib.hgt_sample(
+        *args, _p(counts), _p(nodes_cat), _p(rows_cat), _p(cols_cat),
+        _p(eids_cat),
+    )
+    samples, rows, cols, eids = {}, {}, {}, {}
+    npos = 0
+    for t, nt in enumerate(node_types):
+        samples[nt] = nodes_cat[npos:npos + counts[t]]
+        npos += counts[t]
+    epos = 0
+    for r, rel in enumerate(edge_types):
+        n = counts[T + r]
+        rows[rel] = rows_cat[epos:epos + n]
+        cols[rel] = cols_cat[epos:epos + n]
+        eids[rel] = eids_cat[epos:epos + n]
+        epos += n
+    return samples, rows, cols, eids
+
+
 def hetero_temporal_neighbor_sample(
     node_types, edge_types, colptr_dict, row_dict, input_dict,
     budget_dict, time_dict, num_hops: int, replace: bool, directed: bool,

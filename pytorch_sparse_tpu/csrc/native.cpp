@@ -17,6 +17,7 @@
 //    caller-computed exact bounds, documented per function.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -572,6 +573,156 @@ int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
     for (int64_t e = rowptr_in[v]; e < rowptr_in[v + 1]; e++)
       if (cluster_out[v] != cluster_out[col_in[e]]) cut++;
   return cut / 2;
+}
+
+// ---------------------------------------------------------------------
+// hgt_sample: Heterogeneous Graph Transformer layer-wise importance
+// sampling (reference cpu/hgt_sample_cpu.cpp): per-type budgets of
+// inverse-degree scores with a neighbor cap of 50, weighted node
+// sampling proportional to budget^2 without replacement
+// (Efraimidis-Spirakis keys), induced typed adjacency reconstruction.
+// Flattened encoding and two-phase protocol as hetero_neighbor_sample;
+// num_samples is (n_types * num_hops).
+// ---------------------------------------------------------------------
+namespace {
+
+inline double rng_unit(Rng *r) {  // uniform in (0, 1)
+  return ((double)(rng_next(r) >> 11) + 1.0) * 1.1102230246251564e-16;
+}
+
+}  // namespace
+
+void hgt_sample(int64_t n_types, int64_t n_rels, int64_t num_hops,
+                const int64_t *rel_src, const int64_t *rel_dst,
+                const int64_t *colptr_cat, const int64_t *colptr_off,
+                const int64_t *row_cat, const int64_t *row_off,
+                const int64_t *inputs_cat, const int64_t *inputs_off,
+                const int64_t *num_samples, uint64_t seed, int64_t *counts,
+                int64_t *out_nodes_cat, int64_t *out_rows_cat,
+                int64_t *out_cols_cat, int64_t *out_eids_cat) {
+  const bool count_only = out_nodes_cat == nullptr;
+  const int64_t MAX_NEIGHBORS = 50;  // hgt_sample_cpu.cpp:9
+  Rng rng;
+  rng_seed(&rng, seed);
+
+  std::vector<std::vector<int64_t>> nodes(n_types);
+  std::vector<std::unordered_map<int64_t, int64_t>> to_local(n_types);
+  std::vector<std::unordered_map<int64_t, double>> budget(n_types);
+
+  for (int64_t t = 0; t < n_types; t++) {
+    for (int64_t i = inputs_off[t]; i < inputs_off[t + 1]; i++) {
+      const int64_t v = inputs_cat[i];
+      if (to_local[t].emplace(v, (int64_t)nodes[t].size()).second)
+        nodes[t].push_back(v);
+    }
+  }
+
+  auto update_budget = [&](int64_t node_type,
+                           const std::vector<int64_t> &new_samples) {
+    if (new_samples.empty()) return;
+    for (int64_t r = 0; r < n_rels; r++) {
+      if (rel_dst[r] != node_type) continue;
+      const int64_t st = rel_src[r];
+      const int64_t *cp = colptr_cat + colptr_off[r];
+      const int64_t *rw = row_cat + row_off[r];
+      for (const int64_t w : new_samples) {
+        const int64_t start = cp[w], count = cp[w + 1] - cp[w];
+        if (count == 0) continue;
+        auto add = [&](int64_t e) {
+          const int64_t v = rw[e];
+          if (to_local[st].find(v) == to_local[st].end())
+            budget[st][v] += 1.0 / (double)std::min(count, MAX_NEIGHBORS);
+        };
+        if (count > MAX_NEIGHBORS) {
+          std::unordered_set<int64_t> perm;
+          for (int64_t j = count - MAX_NEIGHBORS; j < count; j++) {
+            int64_t rnd = rng_below(&rng, j);
+            if (!perm.insert(rnd).second) {
+              rnd = j;
+              perm.insert(j);
+            }
+            add(start + rnd);
+          }
+        } else {
+          for (int64_t j = 0; j < count; j++) add(start + j);
+        }
+      }
+    }
+  };
+
+  for (int64_t t = 0; t < n_types; t++) update_budget(t, nodes[t]);
+
+  std::vector<std::pair<double, int64_t>> keys;
+  for (int64_t ell = 0; ell < num_hops; ell++) {
+    std::vector<std::vector<int64_t>> hop_samples(n_types);
+    for (int64_t t = 0; t < n_types; t++) {
+      const int64_t num = num_samples[t * num_hops + ell];
+      if (num <= 0 || budget[t].empty()) continue;
+      // Efraimidis-Spirakis: top-num by u^(1/w), weight = budget^2.
+      keys.clear();
+      keys.reserve(budget[t].size());
+      for (const auto &kv : budget[t]) {
+        const double w = kv.second * kv.second;
+        keys.emplace_back(std::pow(rng_unit(&rng), 1.0 / w), kv.first);
+      }
+      const int64_t take =
+          std::min<int64_t>(num, (int64_t)keys.size());
+      std::partial_sort(
+          keys.begin(), keys.begin() + take, keys.end(),
+          [](const auto &a, const auto &b) { return a.first > b.first; });
+      for (int64_t i = 0; i < take; i++) {
+        const int64_t v = keys[i].second;
+        to_local[t][v] = (int64_t)nodes[t].size();
+        nodes[t].push_back(v);
+        budget[t].erase(v);
+        hop_samples[t].push_back(v);
+      }
+    }
+    if (ell < num_hops - 1)
+      for (int64_t t = 0; t < n_types; t++) update_budget(t, hop_samples[t]);
+  }
+
+  // Induced typed adjacency (hgt_sample_cpu.cpp:189-230).
+  std::vector<std::vector<int64_t>> rows(n_rels), cols(n_rels),
+      eids(n_rels);
+  for (int64_t r = 0; r < n_rels; r++) {
+    const int64_t st = rel_src[r], dt = rel_dst[r];
+    const int64_t *cp = colptr_cat + colptr_off[r];
+    const int64_t *rw = row_cat + row_off[r];
+    for (int64_t i = 0; i < (int64_t)nodes[dt].size(); i++) {
+      const int64_t w = nodes[dt][i];
+      for (int64_t e = cp[w]; e < cp[w + 1]; e++) {
+        const auto it = to_local[st].find(rw[e]);
+        if (it == to_local[st].end()) continue;
+        rows[r].push_back(it->second);
+        cols[r].push_back(i);
+        eids[r].push_back(e);
+      }
+    }
+  }
+
+  for (int64_t t = 0; t < n_types; t++)
+    counts[t] = (int64_t)nodes[t].size();
+  for (int64_t r = 0; r < n_rels; r++)
+    counts[n_types + r] = (int64_t)rows[r].size();
+
+  if (!count_only) {
+    int64_t npos = 0, epos = 0;
+    for (int64_t t = 0; t < n_types; t++) {
+      std::memcpy(out_nodes_cat + npos, nodes[t].data(),
+                  nodes[t].size() * sizeof(int64_t));
+      npos += (int64_t)nodes[t].size();
+    }
+    for (int64_t r = 0; r < n_rels; r++) {
+      std::memcpy(out_rows_cat + epos, rows[r].data(),
+                  rows[r].size() * sizeof(int64_t));
+      std::memcpy(out_cols_cat + epos, cols[r].data(),
+                  cols[r].size() * sizeof(int64_t));
+      std::memcpy(out_eids_cat + epos, eids[r].data(),
+                  eids[r].size() * sizeof(int64_t));
+      epos += (int64_t)rows[r].size();
+    }
+  }
 }
 
 // Version tag for the loader.

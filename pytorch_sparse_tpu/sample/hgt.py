@@ -74,7 +74,6 @@ def hgt_sample(
     seed: Seed = None,
 ):
     """Returns (node_id dict, row dict, col dict, edge_id dict)."""
-    rng = as_generator(seed)
     colptr_np = {k: np.asarray(v, np.int64) for k, v in colptr_dict.items()}
     row_np = {k: np.asarray(v, np.int64) for k, v in row_dict.items()}
 
@@ -83,6 +82,29 @@ def hgt_sample(
         src_t, _, dst_t = _split_rel(rel)
         node_types.update((src_t, dst_t))
     node_types.update(input_node_dict.keys())
+
+    from ..csrc import bindings
+
+    if bindings.available():
+        native_seed = seed if isinstance(seed, int) else 0
+        nts = sorted(node_types)
+        rel_keys = sorted(colptr_np)
+        samples_n, rows_n, cols_n, edges_n = bindings.hgt_sample(
+            nts, rel_keys, colptr_np, row_np,
+            {nt: np.asarray(v, np.int64)
+             for nt, v in input_node_dict.items()},
+            {nt: list(num_samples_dict.get(nt, [0] * num_hops))
+             for nt in nts},
+            num_hops, native_seed,
+        )
+        return (
+            {nt: to_index_array(v) for nt, v in samples_n.items()},
+            {k: to_index_array(v) for k, v in rows_n.items()},
+            {k: to_index_array(v) for k, v in cols_n.items()},
+            {k: to_index_array(v) for k, v in edges_n.items()},
+        )
+
+    rng = as_generator(seed)
 
     nodes = {nt: [] for nt in node_types}
     to_local = {nt: {} for nt in node_types}
