@@ -16,6 +16,8 @@ from .tensor import SparseTensor  # noqa
 # Op modules attach SparseTensor methods on import.
 from .ops import (  # noqa
     spmm_sum, spmm_add, spmm_mean, spmm_min, spmm_max, spspmm_sum, matmul,
+    expansion_terms, spspmm_chunked, spspmm_native, spspmm_stream,
+    spspmm_diag,
     t, transpose, coalesce, eye, spmm, spspmm, spadd,
     to_jax_sparse, from_jax_sparse, to_torch_sparse, from_torch_sparse,
     to_scipy, from_scipy,
@@ -44,6 +46,11 @@ __all__ = [
     "spmm_min",
     "spmm_max",
     "spspmm_sum",
+    "expansion_terms",
+    "spspmm_chunked",
+    "spspmm_native",
+    "spspmm_stream",
+    "spspmm_diag",
     "matmul",
     "t",
     "transpose",

@@ -420,3 +420,40 @@ def partition_refine(
         ctypes.c_double(imbalance),
     )
     return cluster
+
+
+def spgemm(
+    rowptrA: np.ndarray, colA: np.ndarray, valA: Optional[np.ndarray],
+    rowptrB: np.ndarray, colB: np.ndarray, valB: Optional[np.ndarray],
+    P: int, row_lo: int = 0, row_hi: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Gustavson SpGEMM over the A-row range [row_lo, row_hi).
+
+    Returns (rowptrC, colC, valC) with rowptrC local to the range
+    (length ``row_hi - row_lo + 1``), colC ascending per row, valC float64
+    (None when both inputs are unweighted).
+    """
+    if row_hi is None:
+        row_hi = rowptrA.shape[0] - 1
+    rowptrA = np.ascontiguousarray(rowptrA, np.int64)
+    colA = np.ascontiguousarray(colA, np.int64)
+    rowptrB = np.ascontiguousarray(rowptrB, np.int64)
+    colB = np.ascontiguousarray(colB, np.int64)
+    va = None if valA is None else np.ascontiguousarray(valA, np.float64)
+    vb = None if valB is None else np.ascontiguousarray(valB, np.float64)
+    rowptrC = np.empty(row_hi - row_lo + 1, np.int64)
+    lib.spgemm_nnz.restype = ctypes.c_int64
+    nnz = lib.spgemm_nnz(
+        _p(rowptrA), _p(colA), _p(rowptrB), _p(colB), ctypes.c_int64(P),
+        ctypes.c_int64(row_lo), ctypes.c_int64(row_hi), _p(rowptrC),
+    )
+    colC = np.empty(nnz, np.int64)
+    with_val = va is not None or vb is not None
+    valC = np.empty(nnz, np.float64) if with_val else None
+    lib.spgemm_fill(
+        _p(rowptrA), _p(colA), None if va is None else _pd(va),
+        _p(rowptrB), _p(colB), None if vb is None else _pd(vb),
+        ctypes.c_int64(P), ctypes.c_int64(row_lo), ctypes.c_int64(row_hi),
+        _p(rowptrC), _p(colC), None if valC is None else _pd(valC),
+    )
+    return rowptrC, colC, valC

@@ -1106,6 +1106,92 @@ void hetero_temporal_neighbor_sample(
   }
 }
 
-int64_t sparse_tpu_native_abi_version() { return 1; }
+// ---------------------------------------------------------------------
+// SpGEMM (C = A @ B over CSR): Gustavson row-merge with a dense
+// accumulator.  The reference does not own an SpGEMM kernel — it
+// delegates to torch.sparse.mm (torch_sparse/matmul.py:97); this is the
+// host-side numeric engine for large products where the device plan
+// path's term materialization would not fit (see ops/spgemm.py).
+//
+// Two-pass protocol over an A-row range [row_lo, row_hi):
+//   spgemm_nnz : writes rowptrC (row_hi-row_lo+1 entries, local, 0-based)
+//                and returns nnzC for the range.
+//   spgemm_fill: numeric pass writing colC (ascending per row) and valC.
+// valA/valB/valC may be NULL (implicit ones / structure-only).
+// Per output nnz the adds happen in ascending-k order (the A-row scan
+// order), matching the device plan path's stable key-sort term order.
+// OpenMP-parallel over rows with per-thread accumulators; deterministic
+// regardless of thread count (each row's output depends only on inputs).
+// ---------------------------------------------------------------------
+int64_t spgemm_nnz(const int64_t *rowptrA, const int64_t *colA,
+                   const int64_t *rowptrB, const int64_t *colB, int64_t P,
+                   int64_t row_lo, int64_t row_hi, int64_t *rowptrC) {
+  int64_t R = row_hi - row_lo;
+  rowptrC[0] = 0;
+#pragma omp parallel
+  {
+    std::vector<int64_t> mark(P, -1);
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t r = 0; r < R; r++) {
+      int64_t i = row_lo + r;
+      int64_t cnt = 0;
+      for (int64_t e = rowptrA[i]; e < rowptrA[i + 1]; e++) {
+        int64_t k = colA[e];
+        for (int64_t f = rowptrB[k]; f < rowptrB[k + 1]; f++) {
+          int64_t j = colB[f];
+          if (mark[j] != i) {
+            mark[j] = i;
+            cnt++;
+          }
+        }
+      }
+      rowptrC[r + 1] = cnt;
+    }
+  }
+  for (int64_t r = 0; r < R; r++) rowptrC[r + 1] += rowptrC[r];
+  return rowptrC[R];
+}
+
+void spgemm_fill(const int64_t *rowptrA, const int64_t *colA,
+                 const double *valA, const int64_t *rowptrB,
+                 const int64_t *colB, const double *valB, int64_t P,
+                 int64_t row_lo, int64_t row_hi, const int64_t *rowptrC,
+                 int64_t *colC, double *valC) {
+  int64_t R = row_hi - row_lo;
+#pragma omp parallel
+  {
+    std::vector<double> acc(valC ? P : 0, 0.0);
+    std::vector<int64_t> mark(P, -1);
+    std::vector<int64_t> cols;
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t r = 0; r < R; r++) {
+      int64_t i = row_lo + r;
+      cols.clear();
+      for (int64_t e = rowptrA[i]; e < rowptrA[i + 1]; e++) {
+        int64_t k = colA[e];
+        double va = valA ? valA[e] : 1.0;
+        for (int64_t f = rowptrB[k]; f < rowptrB[k + 1]; f++) {
+          int64_t j = colB[f];
+          double t = valB ? va * valB[f] : va;
+          if (mark[j] != i) {
+            mark[j] = i;
+            cols.push_back(j);
+            if (valC) acc[j] = t;
+          } else if (valC) {
+            acc[j] += t;
+          }
+        }
+      }
+      std::sort(cols.begin(), cols.end());
+      int64_t base = rowptrC[r];
+      for (size_t s = 0; s < cols.size(); s++) {
+        colC[base + (int64_t)s] = cols[s];
+        if (valC) valC[base + (int64_t)s] = acc[cols[s]];
+      }
+    }
+  }
+}
+
+int64_t sparse_tpu_native_abi_version() { return 2; }
 
 }  // extern "C"

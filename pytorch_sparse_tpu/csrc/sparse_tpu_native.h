@@ -98,6 +98,38 @@ int64_t partition_refine(const int64_t *rowptr, const int64_t *col,
                          const double *node_weight, int64_t n_parts,
                          int64_t n_iters, double imbalance);
 
+// METIS-style multilevel k-way partition (heavy-edge matching coarsening
+// + refinement per level). Returns the achieved edge cut.
+int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
+                             int64_t n_nodes, int64_t *cluster,
+                             const double *node_weight, int64_t n_parts,
+                             uint64_t seed, double imbalance);
+
+// HGT layer-wise importance sampling over the flattened relation
+// encoding (see hetero_neighbor_sample for the layout).
+void hgt_sample(int64_t n_types, int64_t n_rels, int64_t num_hops,
+                const int64_t *rel_src, const int64_t *rel_dst,
+                const int64_t *colptr_cat, const int64_t *colptr_off,
+                const int64_t *row_cat, const int64_t *row_off,
+                const int64_t *inputs_cat, const int64_t *inputs_off,
+                const int64_t *num_samples, uint64_t seed, int64_t *counts,
+                int64_t *out_nodes_cat, int64_t *out_rows_cat,
+                int64_t *out_cols_cat, int64_t *out_eids_cat);
+
+// SpGEMM C = A @ B (CSR, Gustavson dense-accumulator row merge) over the
+// A-row range [row_lo, row_hi). Two-pass: spgemm_nnz fills the local
+// rowptrC (row_hi-row_lo+1 entries) and returns nnzC; spgemm_fill writes
+// colC (ascending per row) and valC. valA/valB/valC may be NULL
+// (implicit-ones values / structure-only).
+int64_t spgemm_nnz(const int64_t *rowptrA, const int64_t *colA,
+                   const int64_t *rowptrB, const int64_t *colB, int64_t P,
+                   int64_t row_lo, int64_t row_hi, int64_t *rowptrC);
+void spgemm_fill(const int64_t *rowptrA, const int64_t *colA,
+                 const double *valA, const int64_t *rowptrB,
+                 const int64_t *colB, const double *valB, int64_t P,
+                 int64_t row_lo, int64_t row_hi, const int64_t *rowptrC,
+                 int64_t *colC, double *valC);
+
 #ifdef __cplusplus
 }  // extern "C"
 #endif

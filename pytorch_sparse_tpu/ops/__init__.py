@@ -13,6 +13,10 @@ from .matmul import (  # noqa
     spspmm_sum, matmul,
 )
 from .matmul import spspmm as spspmm_tensor  # noqa
+from .spgemm import (  # noqa
+    expansion_terms, spspmm_chunked, spspmm_native, spspmm_stream,
+    spspmm_diag,
+)
 from .transpose import t, transpose  # noqa
 from .coalesce import coalesce  # noqa
 from .eye import eye  # noqa

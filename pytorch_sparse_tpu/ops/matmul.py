@@ -359,7 +359,8 @@ def spmm(src: SparseTensor, other: jnp.ndarray, reduce: str = "sum"):
 # (structure) pass + a jit-able, differentiable numeric pass.
 # ----------------------------------------------------------------------
 
-def _spspmm_structure(A: SparseTensor, B: SparseTensor):
+def _spspmm_structure(A: SparseTensor, B: SparseTensor, e_lo: int = 0,
+                      e_hi: Optional[int] = None):
     """Expansion-pass structure: for each A-nnz (i, k), enumerate B's row k.
 
     Returns the gather indices of the expanded product terms (``a_pos``,
@@ -368,10 +369,18 @@ def _spspmm_structure(A: SparseTensor, B: SparseTensor):
     numeric pass is scatter-free on TPU: each output nnz sums its
     contiguous run of terms via take + row-sum over fixed-width buckets.
     Runs eagerly on concrete index arrays (data-dependent output size).
+
+    ``[e_lo, e_hi)`` restricts the pass to a range of A-nnz (must align
+    with complete-row boundaries for the output to be a row block of C);
+    the returned ``a_pos`` stays absolute into A's nnz. This is the unit
+    of work of the chunked/streaming drivers in ``ops/spgemm.py``.
     """
     from .kernels.ell import _choose_caps
 
     rowA, colA = np.asarray(A.storage.row()), np.asarray(A.storage.col())
+    if e_hi is None:
+        e_hi = rowA.shape[0]
+    rowA, colA = rowA[e_lo:e_hi], colA[e_lo:e_hi]
     rowptrB = np.asarray(B.storage.rowptr())
     colB = np.asarray(B.storage.col())
 
@@ -452,36 +461,48 @@ def _spspmm_structure(A: SparseTensor, B: SparseTensor):
     inv[out_perm] = np.arange(n_out)
 
     return (
-        jnp.asarray(a_pos, jnp.int32), jnp.asarray(b_pos, jnp.int32),
+        jnp.asarray(a_pos + e_lo, jnp.int32), jnp.asarray(b_pos, jnp.int32),
         t_tabs, jnp.asarray(inv.astype(np.int32)), n_out,
         jnp.asarray(rowC, jnp.int32), jnp.asarray(colC, jnp.int32),
     )
 
 
+def _plan_numeric(valueA, valueB, nnzA, nnzB, a_pos, b_pos, t_tabs, inv,
+                  n_out) -> Optional[jnp.ndarray]:
+    """Differentiable scatter-free numeric pass over a structure plan."""
+    if valueA is None and valueB is None:
+        return None
+    if valueA is None:
+        valueA = jnp.ones((nnzA,), dtype=valueB.dtype)
+    if valueB is None:
+        valueB = jnp.ones((nnzB,), dtype=valueA.dtype)
+    terms = valueA[a_pos] * valueB[b_pos]
+    terms_pad = jnp.concatenate([terms, jnp.zeros((1,), terms.dtype)])
+    parts = [
+        jnp.sum(jnp.take(terms_pad, tab, axis=0), axis=1) for tab in t_tabs
+    ]
+    if parts:
+        stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return jnp.take(stacked, inv, axis=0)
+    return jnp.zeros((n_out,), terms.dtype)
+
+
 def spspmm_sum(A: SparseTensor, B: SparseTensor) -> SparseTensor:
     assert A.sparse_size(1) == B.sparse_size(0)
+    from .spgemm import PLAN_MAX_TERMS, expansion_terms, spspmm_large
+
+    if expansion_terms(A, B) > PLAN_MAX_TERMS:
+        # Large products: the single-shot term-materializing plan would
+        # not fit in host memory -> native Gustavson (concrete values) or
+        # the chunked plan path (still differentiable). ops/spgemm.py.
+        return spspmm_large(A, B)
+
     M, P = A.sparse_size(0), B.sparse_size(1)
     a_pos, b_pos, t_tabs, inv, n_out, rowC, colC = _spspmm_structure(A, B)
-
-    valueA, valueB = A.storage.value(), B.storage.value()
-    valueC: Optional[jnp.ndarray] = None
-    if valueA is not None or valueB is not None:
-        if valueA is None:
-            valueA = jnp.ones((A.nnz(),), dtype=valueB.dtype)
-        if valueB is None:
-            valueB = jnp.ones((B.nnz(),), dtype=valueA.dtype)
-        terms = valueA[a_pos] * valueB[b_pos]
-        terms_pad = jnp.concatenate([terms, jnp.zeros((1,), terms.dtype)])
-        parts = [
-            jnp.sum(jnp.take(terms_pad, tab, axis=0), axis=1)
-            for tab in t_tabs
-        ]
-        if parts:
-            stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-            valueC = jnp.take(stacked, inv, axis=0)
-        else:
-            valueC = jnp.zeros((n_out,), terms.dtype)
-
+    valueC = _plan_numeric(
+        A.storage.value(), B.storage.value(), A.nnz(), B.nnz(),
+        a_pos, b_pos, t_tabs, inv, n_out,
+    )
     return SparseTensor(
         row=rowC, col=colC, value=valueC, sparse_sizes=(M, P),
         is_sorted=True, trust_data=True,

@@ -1,0 +1,246 @@
+"""Large-scale SpGEMM drivers: chunked, native, and streaming.
+
+The single-shot plan path (``ops/matmul.py:_spspmm_structure``)
+materializes every expansion term host-side — O(terms) memory and an
+O(terms log terms) sort.  At Reddit scale (A·A over 115M nnz, ~5e10
+product terms — the BASELINE.json Reddit config) that is infeasible in
+one shot on any host.  The reference sidesteps the problem by delegating
+SpSpMM to ``torch.sparse.mm`` (``torch_sparse/matmul.py:97``), which
+OOMs at the same scale; this framework owns the kernel and therefore
+also owns the scaling strategy:
+
+* ``spspmm_chunked`` — split A's rows into chunks of bounded expansion
+  size, run the structure+numeric plan per chunk, concatenate.  Memory
+  is bounded by the chunk; values stay on device and the whole product
+  remains **differentiable** (each chunk is the same gather/one-hot
+  reduction the single-shot path uses).
+* ``spspmm_native`` — Gustavson dense-accumulator row merge in C++
+  (``csrc/native.cpp:spgemm_nnz/spgemm_fill``), OpenMP row-parallel.
+  O(terms) time, O(P) scratch, no sort of the term list.  Forward-only
+  (values are computed outside the JAX trace); 1-2 orders of magnitude
+  faster than the chunked plan for huge products.
+* ``spspmm_stream`` — generator of C row blocks for products whose
+  *output* does not fit in memory; downstream pipeline ops (diag,
+  spadd, reductions) consume blocks without materializing C.
+* ``spspmm_diag`` — diag(A@B) without forming C at all (a segmented
+  binary search of B's rows: O(nnz(A) log deg(B))).
+
+Dispatch (``spspmm_large``): plan path below ``PLAN_MAX_TERMS`` (chosen
+in ``ops/matmul.py:spspmm_sum``), then native when both values are
+concrete (not JAX tracers), else chunked-differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tensor import SparseTensor
+
+# Max product terms the single-shot plan path materializes host-side
+# (~64M terms ≈ 1.5 GB of transient host index arrays).
+PLAN_MAX_TERMS = 1 << 26
+
+
+def _expansion_degrees(A: SparseTensor, B: SparseTensor) -> np.ndarray:
+    """Per-A-nnz expansion counts: deg_B(colA[e]) (int64, host)."""
+    colA = np.asarray(A.storage.col()).astype(np.int64)
+    rowptrB = np.asarray(B.storage.rowptr()).astype(np.int64)
+    return rowptrB[colA + 1] - rowptrB[colA]
+
+
+def expansion_terms(A: SparseTensor, B: SparseTensor) -> int:
+    """Exact number of product terms of A@B (the SpGEMM 'flop' count)."""
+    return int(_expansion_degrees(A, B).sum())
+
+
+def _row_chunks(A: SparseTensor, B: SparseTensor,
+                max_terms: int) -> Tuple[np.ndarray, list]:
+    """Split A's rows into [lo, hi) chunks of ≤ max_terms expansion each
+    (single rows that alone exceed the budget get their own chunk)."""
+    rowptrA = np.asarray(A.storage.rowptr()).astype(np.int64)
+    deg = _expansion_degrees(A, B)
+    cum = np.concatenate([[0], np.cumsum(deg)])
+    row_cum = cum[rowptrA]  # expansion terms before each row
+    M = rowptrA.shape[0] - 1
+    chunks = []
+    lo = 0
+    while lo < M:
+        hi = int(np.searchsorted(row_cum, row_cum[lo] + max_terms,
+                                 side="right")) - 1
+        hi = min(max(hi, lo + 1), M)
+        chunks.append((lo, hi))
+        lo = hi
+    return rowptrA, chunks
+
+
+def _value_dtype(A: SparseTensor, B: SparseTensor):
+    va, vb = A.storage.value(), B.storage.value()
+    if va is None and vb is None:
+        return None
+    if va is None:
+        return vb.dtype
+    if vb is None:
+        return va.dtype
+    return jnp.promote_types(va.dtype, vb.dtype)
+
+
+def _is_concrete(x) -> bool:
+    return x is None or not isinstance(x, jax.core.Tracer)
+
+
+def spspmm_chunked(A: SparseTensor, B: SparseTensor,
+                   max_terms: int = PLAN_MAX_TERMS) -> SparseTensor:
+    """Differentiable chunked SpGEMM; memory bounded by ``max_terms``."""
+    from .matmul import _plan_numeric, _spspmm_structure
+
+    M, P = A.sparse_size(0), B.sparse_size(1)
+    valueA, valueB = A.storage.value(), B.storage.value()
+    rowptrA, chunks = _row_chunks(A, B, max_terms)
+    rows, cols, vals = [], [], []
+    for lo, hi in chunks:
+        a_pos, b_pos, t_tabs, inv, n_out, rowC, colC = _spspmm_structure(
+            A, B, int(rowptrA[lo]), int(rowptrA[hi])
+        )
+        v = _plan_numeric(valueA, valueB, A.nnz(), B.nnz(), a_pos, b_pos,
+                          t_tabs, inv, n_out)
+        rows.append(rowC)
+        cols.append(colC)
+        if v is not None:
+            vals.append(v)
+    row = (jnp.concatenate(rows) if rows
+           else jnp.zeros((0,), jnp.int32))
+    col = (jnp.concatenate(cols) if cols
+           else jnp.zeros((0,), jnp.int32))
+    if vals:
+        value = jnp.concatenate(vals)
+    else:
+        dtype = _value_dtype(A, B)
+        value = None if dtype is None else jnp.zeros((0,), dtype)
+    return SparseTensor(row=row, col=col, value=value, sparse_sizes=(M, P),
+                        is_sorted=True, trust_data=True)
+
+
+def spspmm_native(A: SparseTensor, B: SparseTensor) -> SparseTensor:
+    """Gustavson SpGEMM via the native library (forward-only values)."""
+    from ..csrc import bindings, lib
+    if lib is None:
+        raise RuntimeError(
+            "libsparse_tpu_native.so not built; run "
+            "pytorch_sparse_tpu/csrc/build.sh or use spspmm_chunked."
+        )
+    M, P = A.sparse_size(0), B.sparse_size(1)
+    va, vb = A.storage.value(), B.storage.value()
+    rowptrC, colC, valC = bindings.spgemm(
+        np.asarray(A.storage.rowptr()), np.asarray(A.storage.col()),
+        None if va is None else np.asarray(va),
+        np.asarray(B.storage.rowptr()), np.asarray(B.storage.col()),
+        None if vb is None else np.asarray(vb), P,
+    )
+    dtype = _value_dtype(A, B)
+    value = None if valC is None else jnp.asarray(valC.astype(dtype))
+    return SparseTensor(
+        rowptr=jnp.asarray(rowptrC.astype(np.int32)),
+        col=jnp.asarray(colC.astype(np.int32)), value=value,
+        sparse_sizes=(M, P), is_sorted=True, trust_data=True,
+    )
+
+
+def spspmm_large(A: SparseTensor, B: SparseTensor) -> SparseTensor:
+    """Dispatcher for products above ``PLAN_MAX_TERMS`` (see module doc)."""
+    from ..csrc import lib
+    if (lib is not None and _is_concrete(A.storage.value())
+            and _is_concrete(B.storage.value())):
+        return spspmm_native(A, B)
+    return spspmm_chunked(A, B)
+
+
+def spspmm_stream(
+    A: SparseTensor, B: SparseTensor, max_terms: int = PLAN_MAX_TERMS,
+) -> Iterator[Tuple[int, int, SparseTensor]]:
+    """Yield (row_lo, row_hi, C[row_lo:row_hi]) blocks of C = A@B.
+
+    Each block is a ``(row_hi - row_lo, P)`` SparseTensor with local row
+    ids; C itself is never materialized, so the product's output may
+    exceed device (or host) memory.  Blocks are sized so each holds at
+    most ``max_terms`` expansion terms.
+    """
+    from ..csrc import bindings, lib
+    from .matmul import _plan_numeric, _spspmm_structure
+
+    M, P = A.sparse_size(0), B.sparse_size(1)
+    valueA, valueB = A.storage.value(), B.storage.value()
+    use_native = (lib is not None and _is_concrete(valueA)
+                  and _is_concrete(valueB))
+    rowptrA, chunks = _row_chunks(A, B, max_terms)
+    dtype = _value_dtype(A, B)
+    if use_native:
+        rowptrA_np = np.asarray(A.storage.rowptr())
+        colA_np = np.asarray(A.storage.col())
+        va = None if valueA is None else np.asarray(valueA)
+        rowptrB_np = np.asarray(B.storage.rowptr())
+        colB_np = np.asarray(B.storage.col())
+        vb = None if valueB is None else np.asarray(valueB)
+    for lo, hi in chunks:
+        if use_native:
+            rowptrC, colC, valC = bindings.spgemm(
+                rowptrA_np, colA_np, va, rowptrB_np, colB_np, vb, P,
+                row_lo=lo, row_hi=hi,
+            )
+            block = SparseTensor(
+                rowptr=jnp.asarray(rowptrC.astype(np.int32)),
+                col=jnp.asarray(colC.astype(np.int32)),
+                value=(None if valC is None
+                       else jnp.asarray(valC.astype(dtype))),
+                sparse_sizes=(hi - lo, P), is_sorted=True, trust_data=True,
+            )
+        else:
+            a_pos, b_pos, t_tabs, inv, n_out, rowC, colC = _spspmm_structure(
+                A, B, int(rowptrA[lo]), int(rowptrA[hi])
+            )
+            v = _plan_numeric(valueA, valueB, A.nnz(), B.nnz(), a_pos,
+                              b_pos, t_tabs, inv, n_out)
+            block = SparseTensor(
+                row=rowC - lo, col=colC, value=v,
+                sparse_sizes=(hi - lo, P), is_sorted=True, trust_data=True,
+            )
+        yield lo, hi, block
+
+
+def spspmm_diag(A: SparseTensor, B: SparseTensor) -> jnp.ndarray:
+    """diag(A @ B) without forming the product.
+
+    For each A-nnz (i, k) locate B[k, i] by binary search in B's sorted
+    (row, col) key space and accumulate valA * valB into diag[i].
+    O(nnz(A) log nnz(B)) host time, O(min(M, P)) output.
+    """
+    M, P = A.sparse_size(0), B.sparse_size(1)
+    D = min(M, P)
+    rowA = np.asarray(A.storage.row()).astype(np.int64)
+    colA = np.asarray(A.storage.col()).astype(np.int64)
+    rowB = np.asarray(B.storage.row()).astype(np.int64)
+    colB = np.asarray(B.storage.col()).astype(np.int64)
+    keyB = rowB * P + colB  # sorted ascending (COO invariant)
+    sel = rowA < P  # only (i, k) with i a valid B-column can hit the diag
+    q = colA[sel] * P + rowA[sel]
+    pos = np.searchsorted(keyB, q)
+    pos_c = np.minimum(pos, keyB.shape[0] - 1) if keyB.shape[0] else pos
+    hit = (keyB.shape[0] > 0) & (pos < keyB.shape[0]) & (keyB[pos_c] == q)
+
+    va, vb = A.storage.value(), B.storage.value()
+    dtype = _value_dtype(A, B)
+    if dtype is None:
+        terms = np.ones(int(np.sum(hit)), np.float32)
+        dtype = jnp.float32
+    else:
+        ta = (np.ones(q.shape[0], np.float64) if va is None
+              else np.asarray(va).astype(np.float64)[sel])
+        tb = (np.ones(q.shape[0], np.float64) if vb is None
+              else np.asarray(vb).astype(np.float64)[pos_c])
+        terms = (ta * tb)[hit]
+    diag = np.zeros(D, np.float64)
+    np.add.at(diag, rowA[sel][hit], terms)
+    return jnp.asarray(diag.astype(dtype))
