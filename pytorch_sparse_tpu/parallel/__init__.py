@@ -11,5 +11,6 @@ rotation (SURVEY.md §5 "long-context" mapping).
 
 from .mesh import make_mesh, data_axis  # noqa
 from .dist import (  # noqa
-    ShardedSparseMatrix, dist_spmm, dist_spmm_allgather, dist_spmm_ring,
+    ShardedSparseMatrix, dist_spmm, dist_spmm_allgather, dist_spmm_halo,
+    dist_spmm_ring,
 )

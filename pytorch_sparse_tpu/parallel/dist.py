@@ -15,6 +15,16 @@ Two SpMM schedules:
   targeting the currently-resident block; compute at step ``s`` overlaps
   the transfer for step ``s+1`` (ring-attention-style KV rotation, over ICI
   on hardware).  Peak memory per chip: one X block instead of all of X.
+* ``dist_spmm_halo`` — each shard ships only the X rows that remote
+  shards actually reference (the *halo*): one ``all_to_all`` of
+  fixed-width halo packets, overlapped with the interior (local-column)
+  SpMM, then a frontier SpMM over the received buffer.  Traffic per chip
+  is ``P * H_max * K * 4`` bytes where ``H_max`` is the worst (shard,
+  shard) distinct-remote-column count — on METIS-partitioned graphs
+  orders of magnitude below the ring's full-block rotation, which is
+  what makes the ≥70% weak-scaling target reachable on low-cut graphs
+  (BASELINE.md).  This is the "METIS partitions drive the distribution
+  to minimize halo traffic" mechanism of the north star.
 
 Edges live in fixed-shape padded buckets so every schedule is a static-shape
 ``shard_map`` program: bucket ``(p, q)`` holds shard ``p``'s edges whose
@@ -169,7 +179,10 @@ class ShardedSparseMatrix:
 
     def __init__(self, mesh: Mesh, M: int, N: int, Mb: int, Nb: int,
                  ring_itabs, ring_vtabs, ring_inv,
-                 flat_itabs, flat_vtabs, flat_inv):
+                 flat_itabs, flat_vtabs, flat_inv,
+                 int_itabs=(), int_vtabs=(), int_inv=None,
+                 fr_itabs=(), fr_vtabs=(), fr_inv=None,
+                 serve_idx=None, halo_width: int = 0):
         self.mesh = mesh
         self.M, self.N = M, N
         self.Mb, self.Nb = Mb, Nb
@@ -180,6 +193,15 @@ class ShardedSparseMatrix:
         self.flat_itabs = tuple(flat_itabs)
         self.flat_vtabs = tuple(flat_vtabs)
         self.flat_inv = flat_inv
+        # halo schedule tables (may be empty on old pytrees)
+        self.int_itabs = tuple(int_itabs)
+        self.int_vtabs = tuple(int_vtabs)
+        self.int_inv = int_inv
+        self.fr_itabs = tuple(fr_itabs)
+        self.fr_vtabs = tuple(fr_vtabs)
+        self.fr_inv = fr_inv
+        self.serve_idx = serve_idx
+        self.halo_width = halo_width
 
     @classmethod
     def from_sparse_tensor(
@@ -233,6 +255,48 @@ class ShardedSparseMatrix:
         ring_vtabs = [t.reshape(Pn, Pn, *t.shape[1:]) for t in ring_vtabs]
         ring_inv = ring_inv.reshape(Pn, Pn, Mb)
 
+        # --- halo schedule: interior groups (own-block cols, local) +
+        # frontier groups (gather into the received halo buffer) + the
+        # per-(server, client) row lists each shard must serve.
+        int_groups = []
+        fr_groups = []
+        halo_cols: List[List[np.ndarray]] = [
+            [np.zeros(0, np.int64)] * Pn for _ in range(Pn)
+        ]  # halo_cols[p][q] = distinct q-local cols client p needs
+        fr_raw = []
+        for p in range(Pn):
+            selp = owner == p
+            interior = selp & (block == p)
+            int_groups.append((
+                row[interior] - p * Mb, col[interior] - p * Nb,
+                value_np[interior],
+            ))
+            fr = selp & (block != p)
+            rf, cf, qf, vf = row[fr] - p * Mb, col[fr], block[fr], value_np[fr]
+            for q in range(Pn):
+                sq = qf == q
+                if q == p or not sq.any():
+                    continue
+                halo_cols[p][q] = np.unique(cf[sq] - q * Nb)
+            fr_raw.append((rf, cf, qf, vf))
+        H = max(
+            [1] + [u.size for per_p in halo_cols for u in per_p]
+        )
+        serve = np.zeros((Pn, Pn, H), np.int32)  # [server q, client p]
+        for p in range(Pn):
+            rf, cf, qf, vf = fr_raw[p]
+            buf_idx = np.zeros(rf.shape[0], np.int64)
+            for q in range(Pn):
+                sq = qf == q
+                if q == p or not sq.any():
+                    continue
+                u = halo_cols[p][q]
+                serve[q, p, : u.size] = u
+                buf_idx[sq] = q * H + np.searchsorted(u, cf[sq] - q * Nb)
+            fr_groups.append((rf, buf_idx, vf))
+        int_itabs, int_vtabs, int_inv, _ = _build_group_ell(int_groups, Mb)
+        fr_itabs, fr_vtabs, fr_inv, _ = _build_group_ell(fr_groups, Mb)
+
         def put(x):
             ndim = x.ndim
             spec = P(data_axis, *([None] * (ndim - 1)))
@@ -244,6 +308,11 @@ class ShardedSparseMatrix:
             put(ring_inv),
             [put(t) for t in flat_itabs], [put(t) for t in flat_vtabs],
             put(flat_inv),
+            [put(t) for t in int_itabs], [put(t) for t in int_vtabs],
+            put(int_inv),
+            [put(t) for t in fr_itabs], [put(t) for t in fr_vtabs],
+            put(fr_inv),
+            put(jnp.asarray(serve)), H,
         )
 
     # ------------------------------------------------------------------
@@ -267,13 +336,17 @@ def _shmat_flatten(s: ShardedSparseMatrix):
     children = (
         s.ring_itabs, s.ring_vtabs, s.ring_inv,
         s.flat_itabs, s.flat_vtabs, s.flat_inv,
+        s.int_itabs, s.int_vtabs, s.int_inv,
+        s.fr_itabs, s.fr_vtabs, s.fr_inv,
+        s.serve_idx,
     )
-    return children, (s.mesh, s.M, s.N, s.Mb, s.Nb)
+    return children, (s.mesh, s.M, s.N, s.Mb, s.Nb, s.halo_width)
 
 
 def _shmat_unflatten(aux, children) -> ShardedSparseMatrix:
-    mesh, M, N, Mb, Nb = aux
-    return ShardedSparseMatrix(mesh, M, N, Mb, Nb, *children)
+    mesh, M, N, Mb, Nb, halo_width = aux
+    return ShardedSparseMatrix(mesh, M, N, Mb, Nb, *children,
+                               halo_width=halo_width)
 
 
 jax.tree_util.register_pytree_node(
@@ -315,6 +388,53 @@ def _ring_local(Mb, Pn, itabs, vtabs, inv, x_local):
 
     out, _ = lax.fori_loop(0, Pn, step, (out0, xblk), unroll=True)
     return out[None]
+
+
+def _halo_local(H, int_itabs, int_vtabs, int_inv,
+                fr_itabs, fr_vtabs, fr_inv, serve_idx, x_local):
+    x = x_local[0]                                  # (Nb, K)
+    K = x.shape[1]
+    # Serve: the rows each client needs from this shard, gathered locally
+    # then exchanged in one all_to_all.  The interior SpMM has no data
+    # dependence on the exchange, so XLA's latency-hiding scheduler can
+    # run the collective concurrently with it (true async on TPU).
+    served = jnp.take(x, serve_idx[0], axis=0)      # (P, H, K)
+    halo = lax.all_to_all(
+        served, data_axis, split_axis=0, concat_axis=0, tiled=True
+    )                                               # (P, H, K): [q] from q
+    out = _group_ell_apply(
+        [t[0] for t in int_itabs], [t[0] for t in int_vtabs], int_inv[0], x
+    )
+    out = out + _group_ell_apply(
+        [t[0] for t in fr_itabs], [t[0] for t in fr_vtabs], fr_inv[0],
+        halo.reshape(-1, K),
+    )
+    return out[None]
+
+
+def dist_spmm_halo(
+    A: ShardedSparseMatrix, x_sharded: jnp.ndarray
+) -> jnp.ndarray:
+    """Halo-exchange SpMM: interior compute overlaps one all_to_all of
+    only the referenced remote rows. Returns (P, Mb, K)."""
+    spec3 = P(data_axis, None, None)
+    fn = jax.shard_map(
+        partial(_halo_local, A.halo_width),
+        mesh=A.mesh,
+        in_specs=(
+            tuple(spec3 for _ in A.int_itabs),
+            tuple(spec3 for _ in A.int_vtabs),
+            P(data_axis, None),
+            tuple(spec3 for _ in A.fr_itabs),
+            tuple(spec3 for _ in A.fr_vtabs),
+            P(data_axis, None),
+            spec3,
+            spec3,
+        ),
+        out_specs=spec3,
+    )
+    return fn(A.int_itabs, A.int_vtabs, A.int_inv,
+              A.fr_itabs, A.fr_vtabs, A.fr_inv, A.serve_idx, x_sharded)
 
 
 def dist_spmm_allgather(
@@ -363,4 +483,6 @@ def dist_spmm(
         return dist_spmm_ring(A, x_sharded)
     elif schedule == "allgather":
         return dist_spmm_allgather(A, x_sharded)
+    elif schedule == "halo":
+        return dist_spmm_halo(A, x_sharded)
     raise ValueError(f"Unknown schedule: {schedule!r}")

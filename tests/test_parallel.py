@@ -30,7 +30,7 @@ def mesh():
     return make_mesh(8)
 
 
-@pytest.mark.parametrize("schedule", ["allgather", "ring"])
+@pytest.mark.parametrize("schedule", ["allgather", "ring", "halo"])
 def test_dist_spmm_matches_single_device(mesh, schedule):
     A = _random_adj(100, 700)
     x = jnp.asarray(np.random.RandomState(1).randn(100, 8), jnp.float32)
@@ -39,6 +39,23 @@ def test_dist_spmm_matches_single_device(mesh, schedule):
     Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh)
     got = Ash.unshard_dense(dist_spmm(Ash, Ash.shard_dense(x), schedule))
     assert np.allclose(got, expected, atol=1e-4)
+
+
+def test_halo_schedule_grads_and_width(mesh):
+    # Halo width is bounded by the worst distinct-remote-column count and
+    # the x-gradient matches the dense oracle through the all_to_all.
+    A = _random_adj(96, 400, seed=3)
+    Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    assert 1 <= Ash.halo_width <= Ash.Nb
+    x = jnp.asarray(np.random.RandomState(4).randn(96, 4), jnp.float32)
+    xs = Ash.shard_dense(x)
+    g_x = jax.jit(jax.grad(
+        lambda s: (dist_spmm(Ash, s, "halo") ** 2).sum()
+    ))(xs)
+    expected_gx = jax.grad(
+        lambda x: ((A.to_dense() @ x) ** 2).sum()
+    )(x)
+    assert np.allclose(Ash.unshard_dense(g_x), expected_gx, atol=1e-3)
 
 
 def test_dist_spmm_grads(mesh):
