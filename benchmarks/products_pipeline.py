@@ -73,12 +73,14 @@ def main():
     report["build_graph_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
+    # Numpy construction keeps sort/coalesce on the host and seeds the
+    # storage host-view cache (samplers + partitioner consume it).
     A = ts.SparseTensor(
-        row=jnp.asarray(src, jnp.int32), col=jnp.asarray(dst, jnp.int32),
-        value=jnp.ones(src.shape[0], jnp.float32), sparse_sizes=(M, M),
+        row=src, col=dst, sparse_sizes=(M, M),
     ).coalesce("add")
-    report["construct_coalesce_s"] = round(time.time() - t0, 2)
     E = int(A.nnz())
+    A = A.set_value(jnp.ones(E, jnp.float32), layout="coo")
+    report["construct_coalesce_s"] = round(time.time() - t0, 2)
     report["nodes"], report["nnz"] = M, E
 
     # 2. 8-way partition
@@ -90,8 +92,8 @@ def main():
     report["part_sizes"] = sizes.tolist()
     report["part_balance"] = round(float(sizes.max() / (M / args.parts)), 3)
     # edge cut: edges whose endpoints land in different parts
-    prow = np.asarray(padj.storage.row()).astype(np.int64)
-    pcol = np.asarray(padj.storage.col()).astype(np.int64)
+    prow = padj.storage.numpy_view("row")
+    pcol = padj.storage.numpy_view("col")
     part_of = np.searchsorted(pp, np.arange(M), side="right") - 1
     cut = int((part_of[prow] != part_of[pcol]).sum())
     report["edge_cut_frac"] = round(cut / E, 4)
@@ -123,12 +125,10 @@ def main():
     dt = (time.time() - t0) / n_iter
     report["saint_20k_sample_s"] = round(dt, 3)
 
-    # 5. neighbor sampling (batch 1024, fanouts 15/10/5)
-    colptr = A.storage.colptr()
-    rowA = A.storage.csc_row() if hasattr(A.storage, "csc_row") else None
-    if rowA is None:
-        # CSC row indices via csr2csc permutation
-        rowA = A.storage.row()[A.storage.csr2csc()]
+    # 5. neighbor sampling (batch 1024, fanouts 15/10/5); host arrays in,
+    # so the sampler pipeline never waits on the device.
+    colptr = A.storage.numpy_view("colptr")
+    rowA = A.storage.numpy_view("row")[A.storage.numpy_view("csr2csc")]
     t0 = time.time()
     n_iter = 10
     tot_nodes = 0

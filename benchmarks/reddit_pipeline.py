@@ -35,11 +35,15 @@ import numpy as np
 
 
 def build_graph(scale: float, seed: int = 0):
-    """Synthetic Reddit-scale graph with planted communities."""
+    """Synthetic Reddit-scale graph with planted communities.
+
+    Oversamples by 1.4x against birthday-collision losses inside the
+    communities so the coalesced nnz lands near the real Reddit edge
+    count (community size ~780 at full scale, 90% intra edges)."""
     rng = np.random.RandomState(seed)
     M = int(232_965 * scale)
-    E = int(114_615_892 * scale)
-    n_comm = max(int(2000 * scale), 8)
+    E = int(114_615_892 * scale * 1.4)
+    n_comm = max(int(300 * scale), 4)
     comm = rng.randint(0, n_comm, M).astype(np.int32)
     # community member lists for intra-community endpoints
     order = np.argsort(comm, kind="stable")
@@ -56,6 +60,10 @@ def build_graph(scale: float, seed: int = 0):
     return M, src, dst
 
 
+def _log(msg):
+    print(f"[reddit_pipeline] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0)
@@ -65,6 +73,7 @@ def main():
                     help="row sample size for the A.A throughput measure")
     args = ap.parse_args()
 
+    import timing  # noqa: F401  (enables the persistent compile cache)
     import jax.numpy as jnp
 
     import pytorch_sparse_tpu as ts
@@ -75,15 +84,20 @@ def main():
     t0 = time.time()
     M, src, dst = build_graph(args.scale)
     report["build_graph_s"] = round(time.time() - t0, 2)
+    _log(f"graph built: {report}")
 
-    # 1. construction + coalesce (sort on device)
+    # 1. construction + coalesce.  Numpy inputs keep the sort/dedupe on
+    # the host (storage seeds its host-view cache) — constructing from
+    # device arrays instead costs a multi-minute remote-compile per new
+    # shape on this tunnel (see CLAUDE.md).  Structure-only (values
+    # attached post-coalesce), matching unweighted adjacencies.
     t0 = time.time()
     A = ts.SparseTensor(
-        row=jnp.asarray(src, jnp.int32), col=jnp.asarray(dst, jnp.int32),
-        value=jnp.ones(src.shape[0], jnp.float32), sparse_sizes=(M, M),
+        row=src, col=dst, sparse_sizes=(M, M),
     ).coalesce("add")
-    A.storage.rowptr().block_until_ready()
+    A.storage.rowptr()
     report["construct_coalesce_s"] = round(time.time() - t0, 2)
+    _log(f"coalesced: {report}")
     E = A.nnz()
     report["nodes"], report["nnz"] = M, int(E)
 
@@ -92,31 +106,37 @@ def main():
     At = A.t()
     At.storage.rowptr().block_until_ready()
     report["transpose_s"] = round(time.time() - t0, 2)
+    _log("transpose done")
 
     t0 = time.time()
     S = ts.add(A, At)  # A + Aᵀ (symmetrization; concat + coalesce)
     S.storage.rowptr().block_until_ready()
     report["spadd_s"] = round(time.time() - t0, 2)
     report["spadd_nnz"] = int(S.nnz())
+    _log("spadd done")
 
     t0 = time.time()
     Ad = A.remove_diag().set_diag(jnp.ones(M, jnp.float32))
     Ad.storage.col().block_until_ready()
     report["remove_set_diag_s"] = round(time.time() - t0, 2)
+    _log("diag ops done")
 
     # 3. diag(A.A) without the product
     t0 = time.time()
     d2 = ts.spspmm_diag(A, A)
     report["diag_AA_s"] = round(time.time() - t0, 2)
     report["diag_AA_sum"] = float(jnp.sum(d2))
+    _log("diag(AA) done")
 
     # 4. A.A term throughput
     terms_total = ts.expansion_terms(A, A)
     report["AA_terms_total"] = int(terms_total)
+    _log(f'AA terms: {report["AA_terms_total"]}')
 
-    rowptr = np.asarray(A.storage.rowptr()).astype(np.int64)
-    col = np.asarray(A.storage.col()).astype(np.int64)
-    val = np.asarray(A.storage.value()).astype(np.float64)
+    rowptr = A.storage.numpy_view("rowptr")
+    col = A.storage.numpy_view("col")
+    v = A.storage.value()
+    val = None if v is None else np.asarray(v).astype(np.float64)
 
     if lib is None:
         report["error"] = "native lib unavailable"

@@ -1123,24 +1123,34 @@ void hetero_temporal_neighbor_sample(
 // OpenMP-parallel over rows with per-thread accumulators; deterministic
 // regardless of thread count (each row's output depends only on inputs).
 // ---------------------------------------------------------------------
-int64_t spgemm_nnz(const int64_t *rowptrA, const int64_t *colA,
-                   const int64_t *rowptrB, const int64_t *colB, int64_t P,
-                   int64_t row_lo, int64_t row_hi, int64_t *rowptrC) {
+}  // extern "C" — reopened below (templates cannot have C linkage)
+
+namespace {
+
+// Index type I: int32 when P and the row-range both fit (halves the
+// mark-array cache footprint and the per-row sort traffic — the sort is
+// ~half the fill-pass time on community graphs), int64 otherwise.
+template <typename I>
+int64_t spgemm_nnz_impl(const int64_t *rowptrA, const int64_t *colA,
+                        const int64_t *rowptrB, const int64_t *colB,
+                        int64_t P, int64_t row_lo, int64_t row_hi,
+                        int64_t *rowptrC) {
   int64_t R = row_hi - row_lo;
   rowptrC[0] = 0;
 #pragma omp parallel
   {
-    std::vector<int64_t> mark(P, -1);
+    std::vector<I> mark(P, (I)-1);
 #pragma omp for schedule(dynamic, 64)
     for (int64_t r = 0; r < R; r++) {
       int64_t i = row_lo + r;
+      I stamp = (I)r;
       int64_t cnt = 0;
       for (int64_t e = rowptrA[i]; e < rowptrA[i + 1]; e++) {
         int64_t k = colA[e];
         for (int64_t f = rowptrB[k]; f < rowptrB[k + 1]; f++) {
           int64_t j = colB[f];
-          if (mark[j] != i) {
-            mark[j] = i;
+          if (mark[j] != stamp) {
+            mark[j] = stamp;
             cnt++;
           }
         }
@@ -1152,20 +1162,23 @@ int64_t spgemm_nnz(const int64_t *rowptrA, const int64_t *colA,
   return rowptrC[R];
 }
 
-void spgemm_fill(const int64_t *rowptrA, const int64_t *colA,
-                 const double *valA, const int64_t *rowptrB,
-                 const int64_t *colB, const double *valB, int64_t P,
-                 int64_t row_lo, int64_t row_hi, const int64_t *rowptrC,
-                 int64_t *colC, double *valC) {
+template <typename I>
+void spgemm_fill_impl(const int64_t *rowptrA, const int64_t *colA,
+                      const double *valA, const int64_t *rowptrB,
+                      const int64_t *colB, const double *valB, int64_t P,
+                      int64_t row_lo, int64_t row_hi,
+                      const int64_t *rowptrC, int64_t *colC,
+                      double *valC) {
   int64_t R = row_hi - row_lo;
 #pragma omp parallel
   {
     std::vector<double> acc(valC ? P : 0, 0.0);
-    std::vector<int64_t> mark(P, -1);
-    std::vector<int64_t> cols;
+    std::vector<I> mark(P, (I)-1);
+    std::vector<I> cols;
 #pragma omp for schedule(dynamic, 64)
     for (int64_t r = 0; r < R; r++) {
       int64_t i = row_lo + r;
+      I stamp = (I)r;
       cols.clear();
       for (int64_t e = rowptrA[i]; e < rowptrA[i + 1]; e++) {
         int64_t k = colA[e];
@@ -1173,9 +1186,9 @@ void spgemm_fill(const int64_t *rowptrA, const int64_t *colA,
         for (int64_t f = rowptrB[k]; f < rowptrB[k + 1]; f++) {
           int64_t j = colB[f];
           double t = valB ? va * valB[f] : va;
-          if (mark[j] != i) {
-            mark[j] = i;
-            cols.push_back(j);
+          if (mark[j] != stamp) {
+            mark[j] = stamp;
+            cols.push_back((I)j);
             if (valC) acc[j] = t;
           } else if (valC) {
             acc[j] += t;
@@ -1190,6 +1203,37 @@ void spgemm_fill(const int64_t *rowptrA, const int64_t *colA,
       }
     }
   }
+}
+
+constexpr int64_t kI32Max = 2147483647;
+
+}  // namespace
+
+extern "C" {
+
+int64_t spgemm_nnz(const int64_t *rowptrA, const int64_t *colA,
+                   const int64_t *rowptrB, const int64_t *colB, int64_t P,
+                   int64_t row_lo, int64_t row_hi, int64_t *rowptrC) {
+  // Stamps are chunk-local rows (r < R), so int32 works whenever the
+  // column space and the row range fit; -1 never collides with a stamp.
+  if (P < kI32Max && row_hi - row_lo < kI32Max)
+    return spgemm_nnz_impl<int32_t>(rowptrA, colA, rowptrB, colB, P,
+                                    row_lo, row_hi, rowptrC);
+  return spgemm_nnz_impl<int64_t>(rowptrA, colA, rowptrB, colB, P,
+                                  row_lo, row_hi, rowptrC);
+}
+
+void spgemm_fill(const int64_t *rowptrA, const int64_t *colA,
+                 const double *valA, const int64_t *rowptrB,
+                 const int64_t *colB, const double *valB, int64_t P,
+                 int64_t row_lo, int64_t row_hi, const int64_t *rowptrC,
+                 int64_t *colC, double *valC) {
+  if (P < kI32Max && row_hi - row_lo < kI32Max)
+    spgemm_fill_impl<int32_t>(rowptrA, colA, valA, rowptrB, colB, valB, P,
+                              row_lo, row_hi, rowptrC, colC, valC);
+  else
+    spgemm_fill_impl<int64_t>(rowptrA, colA, valA, rowptrB, colB, valB, P,
+                              row_lo, row_hi, rowptrC, colC, valC);
 }
 
 int64_t sparse_tpu_native_abi_version() { return 2; }

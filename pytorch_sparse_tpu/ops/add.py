@@ -37,15 +37,31 @@ def add(
     src: SparseTensor, other: Union[jnp.ndarray, SparseTensor]
 ) -> SparseTensor:
     if isinstance(other, SparseTensor):
-        rowA, colA, valueA = src.coo()
-        rowB, colB, valueB = other.coo()
-        row = jnp.concatenate([rowA, rowB])
-        col = jnp.concatenate([colA, colB])
+        valueA = src.storage.value()
+        valueB = other.storage.value()
+        M = max(src.sparse_size(0), other.sparse_size(0))
+        N = max(src.sparse_size(1), other.sparse_size(1))
+        # Concatenate the index lists on the HOST when both operands
+        # carry host views: the merge sort + dedupe then never touch the
+        # device (one eager device sort per new shape costs a full
+        # remote compile on the TPU tunnel; see storage._coalesce_host).
+        hrA = src.storage.numpy_view_cached("row")
+        hcA = src.storage.numpy_view_cached("col")
+        hrB = other.storage.numpy_view_cached("row")
+        hcB = other.storage.numpy_view_cached("col")
+        if all(a is not None for a in (hrA, hcA, hrB, hcB)):
+            import numpy as np
+
+            row = np.concatenate([hrA, hrB])
+            col = np.concatenate([hcA, hcB])
+        else:
+            rowA, colA, _ = src.coo()
+            rowB, colB, _ = other.coo()
+            row = jnp.concatenate([rowA, rowB])
+            col = jnp.concatenate([colA, colB])
         value: Optional[jnp.ndarray] = None
         if valueA is not None and valueB is not None:
             value = jnp.concatenate([valueA, valueB])
-        M = max(src.sparse_size(0), other.sparse_size(0))
-        N = max(src.sparse_size(1), other.sparse_size(1))
         out = SparseTensor(
             row=row, col=col, value=value, sparse_sizes=(M, N)
         )

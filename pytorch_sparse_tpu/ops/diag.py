@@ -46,21 +46,36 @@ def non_diag_mask(
 def remove_diag(src: SparseTensor, k: int = 0) -> SparseTensor:
     """Drop the k-offset diagonal, patching row/col counts
     (reference ``diag.py:10-33``).  Output nnz is data-dependent ->
-    runs eagerly."""
-    row, col, value = src.coo()
-    inv_mask = row != col if k == 0 else row != (col - k)
-    new_row, new_col = row[inv_mask], col[inv_mask]
-    if value is not None:
-        value = value[inv_mask]
+    runs eagerly; index work stays on the host when host views exist
+    (device boolean-mask ops recompile per shape on the TPU tunnel)."""
+    import numpy as np
 
+    hrow = src.storage.numpy_view_cached("row")
+    hcol = src.storage.numpy_view_cached("col")
     rowcount = src.storage._rowcount
     colcount = src.storage._colcount
-    if rowcount is not None or colcount is not None:
-        mask = ~inv_mask
+    if hrow is not None and hcol is not None:
+        inv_np = hrow != hcol if k == 0 else hrow != (hcol - k)
+        new_row, new_col = hrow[inv_np], hcol[inv_np]
+        value = src.storage.value()
+        if value is not None:
+            value = value[jnp.asarray(np.flatnonzero(inv_np))]
         if rowcount is not None:
-            rowcount = rowcount.at[row[mask]].add(-1)
+            rowcount = rowcount.at[jnp.asarray(hrow[~inv_np])].add(-1)
         if colcount is not None:
-            colcount = colcount.at[col[mask]].add(-1)
+            colcount = colcount.at[jnp.asarray(hcol[~inv_np])].add(-1)
+    else:
+        row, col, value = src.coo()
+        inv_mask = row != col if k == 0 else row != (col - k)
+        new_row, new_col = row[inv_mask], col[inv_mask]
+        if value is not None:
+            value = value[inv_mask]
+        if rowcount is not None or colcount is not None:
+            mask = ~inv_mask
+            if rowcount is not None:
+                rowcount = rowcount.at[row[mask]].add(-1)
+            if colcount is not None:
+                colcount = colcount.at[col[mask]].add(-1)
 
     storage = SparseStorage(
         row=new_row, rowptr=None, col=new_col, value=value,
@@ -76,26 +91,54 @@ def set_diag(
 ) -> SparseTensor:
     """Insert a full k-offset diagonal (reference ``diag.py:36-80``)."""
     src = remove_diag(src, k=k)
-    row, col, value = src.coo()
+    value = src.storage.value()
     M, N = src.sparse_size(0), src.sparse_size(1)
 
-    mask = non_diag_mask(row, col, M, N, k)
-    E_out = mask.shape[0]
-    num_diag = E_out - row.shape[0]
-    start = -k if k < 0 else 0
-    diag = jnp.arange(start, start + num_diag, dtype=INDEX_DTYPE)
+    hrow = src.storage.numpy_view_cached("row")
+    hcol = src.storage.numpy_view_cached("col")
+    if hrow is not None and hcol is not None:
+        # Host index math (same formula as non_diag_mask below).
+        import numpy as np
 
-    pos = jnp.nonzero(mask, size=row.shape[0])[0]
-    inv_pos = jnp.nonzero(~mask, size=num_diag)[0]
+        E = hrow.shape[0]
+        num_diag = _diag_count(M, N, k)
+        start = -k if k < 0 else 0
+        above = np.clip(hrow - start, 0, num_diag)
+        same_row = (
+            (hrow >= start) & (hrow < start + num_diag) & (hrow + k < hcol)
+        )
+        pos_np = np.arange(E, dtype=np.int64) + above + same_row
+        E_out = E + num_diag
+        mask_np = np.zeros(E_out, bool)
+        mask_np[pos_np] = True
+        inv_pos_np = np.flatnonzero(~mask_np)
+        diag_np = np.arange(start, start + num_diag, dtype=np.int64)
+        new_row = np.zeros(E_out, np.int64)
+        new_row[pos_np] = hrow
+        new_row[inv_pos_np] = diag_np
+        new_col = np.zeros(E_out, np.int64)
+        new_col[pos_np] = hcol
+        new_col[inv_pos_np] = diag_np + k
+        pos, inv_pos = jnp.asarray(pos_np), jnp.asarray(inv_pos_np)
+    else:
+        row, col = src.storage.row(), src.storage.col()
+        mask = non_diag_mask(row, col, M, N, k)
+        E_out = mask.shape[0]
+        num_diag = E_out - row.shape[0]
+        start = -k if k < 0 else 0
+        diag = jnp.arange(start, start + num_diag, dtype=INDEX_DTYPE)
 
-    new_row = (
-        jnp.zeros((E_out,), dtype=INDEX_DTYPE)
-        .at[pos].set(row).at[inv_pos].set(diag)
-    )
-    new_col = (
-        jnp.zeros((E_out,), dtype=INDEX_DTYPE)
-        .at[pos].set(col).at[inv_pos].set(diag + k)
-    )
+        pos = jnp.nonzero(mask, size=row.shape[0])[0]
+        inv_pos = jnp.nonzero(~mask, size=num_diag)[0]
+
+        new_row = (
+            jnp.zeros((E_out,), dtype=INDEX_DTYPE)
+            .at[pos].set(row).at[inv_pos].set(diag)
+        )
+        new_col = (
+            jnp.zeros((E_out,), dtype=INDEX_DTYPE)
+            .at[pos].set(col).at[inv_pos].set(diag + k)
+        )
 
     new_value: Optional[jnp.ndarray] = None
     if value is not None:

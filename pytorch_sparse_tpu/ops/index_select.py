@@ -24,57 +24,61 @@ def index_select(src: SparseTensor, dim: int, idx) -> SparseTensor:
     assert idx.ndim == 1
 
     if dim == 0:
-        old_rowptr, col, value = src.csr()
-        old_rowptr = np.asarray(old_rowptr)
-        rowcount = np.asarray(src.storage.rowcount())[idx]
+        # Index math on host views (memoized; seeded by numpy
+        # construction); only the value gather touches the device.
+        old_rowptr = src.storage.numpy_view("rowptr")
+        old_col = src.storage.numpy_view("col")
+        value = src.storage.value()
+        rowcount = np.diff(old_rowptr)[idx]
 
-        rowptr = np.zeros(idx.shape[0] + 1, dtype=np.int32)
+        rowptr = np.zeros(idx.shape[0] + 1, dtype=np.int64)
         np.cumsum(rowcount, out=rowptr[1:])
         E_new = int(rowptr[-1])
 
-        row = np.repeat(np.arange(idx.shape[0], dtype=np.int32), rowcount)
+        row = np.repeat(np.arange(idx.shape[0], dtype=np.int64), rowcount)
         perm = np.arange(E_new) + (old_rowptr[idx] - rowptr[:-1])[row]
 
-        col = jnp.asarray(np.asarray(col)[perm])
         if value is not None:
             value = value[jnp.asarray(perm)]
 
         storage = SparseStorage(
-            row=jnp.asarray(row), rowptr=jnp.asarray(rowptr), col=col,
+            row=row, rowptr=rowptr, col=old_col[perm],
             value=value, sparse_sizes=(idx.shape[0], src.sparse_size(1)),
-            rowcount=jnp.asarray(rowcount), colptr=None, colcount=None,
+            rowcount=rowcount, colptr=None, colcount=None,
             csr2csc=None, csc2csr=None, is_sorted=True, trust_data=True,
         )
         return src.from_storage(storage)
 
     elif dim == 1:
-        old_colptr, row_csc, value_csc = src.csc()
-        old_colptr = np.asarray(old_colptr)
-        row_csc = np.asarray(row_csc)
-        colcount = np.asarray(src.storage.colcount())[idx]
+        hrow = src.storage.numpy_view("row")
+        hcsr2csc = src.storage.numpy_view("csr2csc")
+        old_colptr = src.storage.numpy_view("colptr")
+        value = src.storage.value()
+        row_csc = hrow[hcsr2csc]
+        colcount = np.diff(old_colptr)[idx]
 
-        colptr = np.zeros(idx.shape[0] + 1, dtype=np.int32)
+        colptr = np.zeros(idx.shape[0] + 1, dtype=np.int64)
         np.cumsum(colcount, out=colptr[1:])
         E_new = int(colptr[-1])
 
-        col = np.repeat(np.arange(idx.shape[0], dtype=np.int32), colcount)
+        col = np.repeat(np.arange(idx.shape[0], dtype=np.int64), colcount)
         perm = np.arange(E_new) + (old_colptr[idx] - colptr[:-1])[col]
 
         row = row_csc[perm]
         csc2csr = np.lexsort((col, row))
-        new_row = jnp.asarray(row[csc2csr])
-        new_col = jnp.asarray(col[csc2csr])
 
-        value: Optional[jnp.ndarray] = None
-        if value_csc is not None:
-            value = value_csc[jnp.asarray(perm)][jnp.asarray(csc2csr)]
+        new_value: Optional[jnp.ndarray] = None
+        if value is not None:
+            # One device gather with the host-composed total permutation.
+            total = hcsr2csc[perm][csc2csr]
+            new_value = value[jnp.asarray(total)]
 
         storage = SparseStorage(
-            row=new_row, rowptr=None, col=new_col, value=value,
+            row=row[csc2csr], rowptr=None, col=col[csc2csr],
+            value=new_value,
             sparse_sizes=(src.sparse_size(0), idx.shape[0]), rowcount=None,
-            colptr=jnp.asarray(colptr), colcount=jnp.asarray(colcount),
-            csr2csc=None, csc2csr=jnp.asarray(csc2csr.astype(np.int32)),
-            is_sorted=True, trust_data=True,
+            colptr=colptr, colcount=colcount,
+            csr2csc=None, csc2csr=csc2csr, is_sorted=True, trust_data=True,
         )
         return src.from_storage(storage)
 

@@ -377,12 +377,13 @@ def _spspmm_structure(A: SparseTensor, B: SparseTensor, e_lo: int = 0,
     """
     from .kernels.ell import _choose_caps
 
-    rowA, colA = np.asarray(A.storage.row()), np.asarray(A.storage.col())
+    rowA = A.storage.numpy_view("row")
+    colA = A.storage.numpy_view("col")
     if e_hi is None:
         e_hi = rowA.shape[0]
     rowA, colA = rowA[e_lo:e_hi], colA[e_lo:e_hi]
-    rowptrB = np.asarray(B.storage.rowptr())
-    colB = np.asarray(B.storage.col())
+    rowptrB = B.storage.numpy_view("rowptr")
+    colB = B.storage.numpy_view("col")
 
     deg = rowptrB[colA + 1] - rowptrB[colA]  # expansions per A-nnz
     total = int(deg.sum())

@@ -47,8 +47,8 @@ PLAN_MAX_TERMS = 1 << 26
 
 def _expansion_degrees(A: SparseTensor, B: SparseTensor) -> np.ndarray:
     """Per-A-nnz expansion counts: deg_B(colA[e]) (int64, host)."""
-    colA = np.asarray(A.storage.col()).astype(np.int64)
-    rowptrB = np.asarray(B.storage.rowptr()).astype(np.int64)
+    colA = A.storage.numpy_view("col")
+    rowptrB = B.storage.numpy_view("rowptr")
     return rowptrB[colA + 1] - rowptrB[colA]
 
 
@@ -61,7 +61,7 @@ def _row_chunks(A: SparseTensor, B: SparseTensor,
                 max_terms: int) -> Tuple[np.ndarray, list]:
     """Split A's rows into [lo, hi) chunks of ≤ max_terms expansion each
     (single rows that alone exceed the budget get their own chunk)."""
-    rowptrA = np.asarray(A.storage.rowptr()).astype(np.int64)
+    rowptrA = A.storage.numpy_view("rowptr")
     deg = _expansion_degrees(A, B)
     cum = np.concatenate([[0], np.cumsum(deg)])
     row_cum = cum[rowptrA]  # expansion terms before each row
@@ -135,9 +135,9 @@ def spspmm_native(A: SparseTensor, B: SparseTensor) -> SparseTensor:
     M, P = A.sparse_size(0), B.sparse_size(1)
     va, vb = A.storage.value(), B.storage.value()
     rowptrC, colC, valC = bindings.spgemm(
-        np.asarray(A.storage.rowptr()), np.asarray(A.storage.col()),
+        A.storage.numpy_view("rowptr"), A.storage.numpy_view("col"),
         None if va is None else np.asarray(va),
-        np.asarray(B.storage.rowptr()), np.asarray(B.storage.col()),
+        B.storage.numpy_view("rowptr"), B.storage.numpy_view("col"),
         None if vb is None else np.asarray(vb), P,
     )
     dtype = _value_dtype(A, B)
@@ -178,11 +178,11 @@ def spspmm_stream(
     rowptrA, chunks = _row_chunks(A, B, max_terms)
     dtype = _value_dtype(A, B)
     if use_native:
-        rowptrA_np = np.asarray(A.storage.rowptr())
-        colA_np = np.asarray(A.storage.col())
+        rowptrA_np = A.storage.numpy_view("rowptr")
+        colA_np = A.storage.numpy_view("col")
         va = None if valueA is None else np.asarray(valueA)
-        rowptrB_np = np.asarray(B.storage.rowptr())
-        colB_np = np.asarray(B.storage.col())
+        rowptrB_np = B.storage.numpy_view("rowptr")
+        colB_np = B.storage.numpy_view("col")
         vb = None if valueB is None else np.asarray(valueB)
     for lo, hi in chunks:
         if use_native:
@@ -219,10 +219,10 @@ def spspmm_diag(A: SparseTensor, B: SparseTensor) -> jnp.ndarray:
     """
     M, P = A.sparse_size(0), B.sparse_size(1)
     D = min(M, P)
-    rowA = np.asarray(A.storage.row()).astype(np.int64)
-    colA = np.asarray(A.storage.col()).astype(np.int64)
-    rowB = np.asarray(B.storage.row()).astype(np.int64)
-    colB = np.asarray(B.storage.col()).astype(np.int64)
+    rowA = A.storage.numpy_view("row")
+    colA = A.storage.numpy_view("col")
+    rowB = B.storage.numpy_view("row")
+    colB = B.storage.numpy_view("col")
     keyB = rowB * P + colB  # sorted ascending (COO invariant)
     sel = rowA < P  # only (i, k) with i a valid B-column can hit the diag
     q = colA[sel] * P + rowA[sel]

@@ -23,10 +23,21 @@ def t(src: SparseTensor) -> SparseTensor:
         value = value[csr2csc]
     sparse_sizes = src.storage.sparse_sizes()
 
+    # Index gathers on the host when host views exist (device gathers
+    # are an eager compile per shape on the TPU tunnel); the new storage
+    # then re-seeds its own host cache from the numpy arrays.
+    hrow = src.storage.numpy_view_cached("row")
+    hcol = src.storage.numpy_view_cached("col")
+    hperm = src.storage.numpy_view_cached("csr2csc")
+    if hrow is not None and hcol is not None and hperm is not None:
+        new_row, new_col = hcol[hperm], hrow[hperm]
+    else:
+        new_row, new_col = col[csr2csc], row[csr2csc]
+
     storage = SparseStorage(
-        row=col[csr2csc],
+        row=new_row,
         rowptr=src.storage._colptr,
-        col=row[csr2csc],
+        col=new_col,
         value=value,
         sparse_sizes=(sparse_sizes[1], sparse_sizes[0]),
         rowcount=src.storage._colcount,

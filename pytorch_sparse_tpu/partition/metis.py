@@ -155,13 +155,12 @@ def partition(
             "Cannot set 'balance_edge' and 'node_weight' at the same time"
         )
 
-    rowptr, col, value = src.csr()
-    rowptr_np = np.asarray(rowptr, np.int64)
-    col_np = np.asarray(col, np.int64)
+    rowptr_np = src.storage.numpy_view("rowptr")
+    col_np = src.storage.numpy_view("col")
 
     # Edge weights are accepted for API parity; the RCM-chunking
     # partitioner keys only on structure + node weights.
-    del weighted, recursive, value
+    del weighted, recursive
 
     nw = None
     if balance_edge:

@@ -33,6 +33,7 @@ from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .segment import segment_reduce, segment_count
 from .utils.convert import INDEX_DTYPE, ind2ptr, ptr2ind
@@ -46,8 +47,6 @@ def _is_concrete(x) -> bool:
 
 
 def _as_index(x) -> jnp.ndarray:
-    import numpy as np
-
     # Host inputs cast in numpy first: a device-side astype is an eager
     # XLA op that recompiles for every new shape, which wrecks host-side
     # sampling pipelines whose frontier sizes vary per batch.
@@ -57,6 +56,20 @@ def _as_index(x) -> jnp.ndarray:
     if x.dtype != INDEX_DTYPE:
         x = x.astype(INDEX_DTYPE)
     return x
+
+
+def _host_int64(x) -> Optional[np.ndarray]:
+    """Host int64 copy when ``x`` is host-resident already, else None.
+
+    Device arrays return None on purpose: the remote-TPU tunnel pulls
+    device->host at ~35 MB/s (vs ~1 GB/s host->device), so host-side
+    fast paths only activate for data that never left the host.
+    """
+    if isinstance(x, np.ndarray):
+        return np.ascontiguousarray(x, dtype=np.int64)
+    if isinstance(x, (list, tuple)):
+        return np.asarray(x, dtype=np.int64)
+    return None
 
 
 def get_layout(layout: Optional[str] = None) -> str:
@@ -109,6 +122,12 @@ class SparseStorage:
     ):
         assert row is not None or rowptr is not None
         assert col is not None
+        # Host copies (numpy/list inputs) power host-side probes, sorts
+        # and derived-view builds — one eager device op per new shape
+        # costs a full remote compile on the TPU tunnel, and pulling
+        # arrays back from the device is ~30x slower than pushing.
+        host_row, host_col = _host_int64(row), _host_int64(col)
+        host_rowptr = _host_int64(rowptr)
         col = _as_index(col)
         assert col.ndim == 1
 
@@ -129,6 +148,8 @@ class SparseStorage:
         if M is None:
             if rowptr is not None:
                 M = int(rowptr.shape[0]) - 1
+            elif host_row is not None:
+                M = int(host_row.max()) + 1 if host_row.shape[0] > 0 else 0
             elif _is_concrete(row):
                 M = int(row.max()) + 1 if row.shape[0] > 0 else 0
             else:
@@ -136,7 +157,9 @@ class SparseStorage:
                     "sparse_sizes[0] must be given when `row` is traced"
                 )
         if N is None:
-            if _is_concrete(col):
+            if host_col is not None:
+                N = int(host_col.max()) + 1 if host_col.shape[0] > 0 else 0
+            elif _is_concrete(col):
                 N = int(col.max()) + 1 if col.shape[0] > 0 else 0
             else:
                 raise ValueError(
@@ -145,13 +168,24 @@ class SparseStorage:
         M, N = int(M), int(N)
 
         if not trust_data and _is_concrete(col) and col.shape[0] > 0:
-            assert int(col.min()) >= 0 and int(col.max()) < N, (
+            cmin, cmax = (
+                (int(host_col.min()), int(host_col.max()))
+                if host_col is not None
+                else (int(col.min()), int(col.max()))
+            )
+            assert cmin >= 0 and cmax < N, (
                 "`col` contains indices outside [0, N)"
             )
             if row is not None and _is_concrete(row):
-                assert int(row.min()) >= 0 and int(row.max()) < M
+                rmin, rmax = (
+                    (int(host_row.min()), int(host_row.max()))
+                    if host_row is not None
+                    else (int(row.min()), int(row.max()))
+                )
+                assert rmin >= 0 and rmax < M
             if rowptr is not None and _is_concrete(rowptr):
-                assert int(rowptr[0]) == 0 and int(rowptr[-1]) == col.shape[0]
+                hp = host_rowptr if host_rowptr is not None else rowptr
+                assert int(hp[0]) == 0 and int(hp[-1]) == col.shape[0]
 
         if value is not None:
             value = jnp.asarray(value)
@@ -181,22 +215,46 @@ class SparseStorage:
                     "Cannot probe sortedness of traced indices; pass "
                     "`is_sorted=True` (or construct eagerly)."
                 )
-            if row.shape[0] > 1:
-                keys_sorted = bool(
-                    jnp.all(
-                        (row[1:] > row[:-1])
-                        | ((row[1:] == row[:-1]) & (col[1:] >= col[:-1]))
-                    )
-                )
+            if host_row is not None and host_col is not None:
+                # Host probe + sort: numpy is both faster at these sizes
+                # and free of the per-shape remote-compile cost.
+                if host_row.shape[0] > 1:
+                    keys_sorted = bool(np.all(
+                        (host_row[1:] > host_row[:-1])
+                        | ((host_row[1:] == host_row[:-1])
+                           & (host_col[1:] >= host_col[:-1]))
+                    ))
+                else:
+                    keys_sorted = True
+                if not keys_sorted:
+                    perm_np = np.lexsort((host_col, host_row))
+                    host_row = host_row[perm_np]
+                    host_col = host_col[perm_np]
+                    row = _as_index(host_row)
+                    col = _as_index(host_col)
+                    if value is not None:
+                        if isinstance(value, np.ndarray):
+                            value = jnp.asarray(value[perm_np])
+                        else:
+                            value = value[jnp.asarray(perm_np)]
+                    csr2csc = csc2csr = None
             else:
-                keys_sorted = True
-            if not keys_sorted:
-                perm = lexsort_rows(row, col)
-                row = row[perm]
-                col = col[perm]
-                if value is not None:
-                    value = value[perm]
-                csr2csc = csc2csr = None
+                if row.shape[0] > 1:
+                    keys_sorted = bool(
+                        jnp.all(
+                            (row[1:] > row[:-1])
+                            | ((row[1:] == row[:-1]) & (col[1:] >= col[:-1]))
+                        )
+                    )
+                else:
+                    keys_sorted = True
+                if not keys_sorted:
+                    perm = lexsort_rows(row, col)
+                    row = row[perm]
+                    col = col[perm]
+                    if value is not None:
+                        value = value[perm]
+                    csr2csc = csc2csr = None
 
         self._row = row
         self._rowptr = rowptr
@@ -211,6 +269,19 @@ class SparseStorage:
         self._ell = None
         self._ell_t = None
 
+        # Seed the host-copy cache (numpy_view) with arrays that never
+        # left the host, so host-side algorithms (samplers, SpGEMM,
+        # derived-view builds) skip the slow device->host pull.
+        np_cache = {}
+        if host_row is not None:
+            np_cache["row"] = host_row
+        if host_col is not None:
+            np_cache["col"] = host_col
+        if host_rowptr is not None:
+            np_cache["rowptr"] = host_rowptr
+        if np_cache:
+            self._np_cache = np_cache
+
     @classmethod
     def empty(cls) -> "SparseStorage":
         row = jnp.zeros((0,), dtype=INDEX_DTYPE)
@@ -224,9 +295,30 @@ class SparseStorage:
     def has_row(self) -> bool:
         return self._row is not None
 
+    def _np_cached(self, name: str) -> Optional[np.ndarray]:
+        """Host copy of a view if one exists WITHOUT pulling from device."""
+        cache = getattr(self, "_np_cache", None)
+        return None if cache is None else cache.get(name)
+
+    def _np_seed(self, name: str, arr: np.ndarray) -> np.ndarray:
+        cache = getattr(self, "_np_cache", None)
+        if cache is None:
+            cache = self._np_cache = {}
+        cache[name] = np.ascontiguousarray(arr, np.int64)
+        return cache[name]
+
     def row(self) -> jnp.ndarray:
         if self._row is None:
-            self._row = ptr2ind(self._rowptr, self._col.shape[0])
+            hptr = self._np_cached("rowptr")
+            if hptr is not None:
+                hrow = np.repeat(
+                    np.arange(hptr.shape[0] - 1, dtype=np.int64),
+                    np.diff(hptr),
+                )
+                self._np_seed("row", hrow)
+                self._row = _as_index(hrow)
+            else:
+                self._row = ptr2ind(self._rowptr, self._col.shape[0])
         return self._row
 
     def has_rowptr(self) -> bool:
@@ -234,7 +326,17 @@ class SparseStorage:
 
     def rowptr(self) -> jnp.ndarray:
         if self._rowptr is None:
-            self._rowptr = ind2ptr(self._row, self._sparse_sizes[0])
+            hrow = self._np_cached("row")
+            if hrow is not None:
+                # ind2ptr on host: rowptr[i] = first nnz with row >= i.
+                hptr = np.searchsorted(
+                    hrow,
+                    np.arange(self._sparse_sizes[0] + 1, dtype=np.int64),
+                )
+                self._np_seed("rowptr", hptr)
+                self._rowptr = _as_index(hptr)
+            else:
+                self._rowptr = ind2ptr(self._row, self._sparse_sizes[0])
         return self._rowptr
 
     def col(self) -> jnp.ndarray:
@@ -379,8 +481,13 @@ class SparseStorage:
 
     def rowcount(self) -> jnp.ndarray:
         if self._rowcount is None:
-            rowptr = self.rowptr()
-            self._rowcount = rowptr[1:] - rowptr[:-1]
+            self.rowptr()
+            hptr = self._np_cached("rowptr")
+            if hptr is not None:
+                self._rowcount = _as_index(np.diff(hptr))
+            else:
+                rowptr = self.rowptr()
+                self._rowcount = rowptr[1:] - rowptr[:-1]
         return self._rowcount
 
     def has_colptr(self) -> bool:
@@ -388,7 +495,13 @@ class SparseStorage:
 
     def colptr(self) -> jnp.ndarray:
         if self._colptr is None:
-            if self._csr2csc is not None:
+            hcol = self._np_cached("col")
+            if hcol is not None:
+                counts = np.bincount(hcol, minlength=self._sparse_sizes[1])
+                hptr = np.concatenate([[0], np.cumsum(counts)])
+                self._np_seed("colptr", hptr)
+                self._colptr = _as_index(hptr)
+            elif self._csr2csc is not None:
                 self._colptr = ind2ptr(
                     self._col[self._csr2csc], self._sparse_sizes[1]
                 )
@@ -408,7 +521,15 @@ class SparseStorage:
 
     def colcount(self) -> jnp.ndarray:
         if self._colcount is None:
-            if self._colptr is not None:
+            hcol = self._np_cached("col")
+            hptr = self._np_cached("colptr")
+            if hptr is not None:
+                self._colcount = _as_index(np.diff(hptr))
+            elif hcol is not None:
+                self._colcount = _as_index(
+                    np.bincount(hcol, minlength=self._sparse_sizes[1])
+                )
+            elif self._colptr is not None:
                 self._colcount = self._colptr[1:] - self._colptr[:-1]
             else:
                 self._colcount = segment_count(
@@ -423,9 +544,18 @@ class SparseStorage:
         """Permutation taking CSR-ordered nnz to CSC order: stable sort by
         (col, row) — reference ``storage.py:407-416``."""
         if self._csr2csc is None:
-            self._csr2csc = lexsort_rows(self._col, self.row()).astype(
-                INDEX_DTYPE
-            )
+            hcol = self._np_cached("col")
+            if hcol is not None:
+                self.row()  # may host-build from rowptr and seed the cache
+            hrow = self._np_cached("row")
+            if hcol is not None and hrow is not None:
+                perm = np.lexsort((hrow, hcol))
+                self._np_seed("csr2csc", perm)
+                self._csr2csc = _as_index(perm)
+            else:
+                self._csr2csc = lexsort_rows(self._col, self.row()).astype(
+                    INDEX_DTYPE
+                )
         return self._csr2csc
 
     def has_csc2csr(self) -> bool:
@@ -433,12 +563,20 @@ class SparseStorage:
 
     def csc2csr(self) -> jnp.ndarray:
         if self._csc2csr is None:
-            csr2csc = self.csr2csc()
-            self._csc2csr = (
-                jnp.zeros_like(csr2csc)
-                .at[csr2csc]
-                .set(jnp.arange(csr2csc.shape[0], dtype=INDEX_DTYPE))
-            )
+            self.csr2csc()
+            hperm = self._np_cached("csr2csc")
+            if hperm is not None:
+                inv = np.empty_like(hperm)
+                inv[hperm] = np.arange(hperm.shape[0], dtype=np.int64)
+                self._np_seed("csc2csr", inv)
+                self._csc2csr = _as_index(inv)
+            else:
+                csr2csc = self._csr2csc
+                self._csc2csr = (
+                    jnp.zeros_like(csr2csc)
+                    .at[csr2csc]
+                    .set(jnp.arange(csr2csc.shape[0], dtype=INDEX_DTYPE))
+                )
         return self._csc2csr
 
     # ------------------------------------------------------------------
@@ -500,9 +638,9 @@ class SparseStorage:
     # ------------------------------------------------------------------
     def numpy_view(self, name: str):
         """Host int64 copy of ``row/rowptr/col/colptr/csr2csc/...``,
-        memoized per storage instance; None under tracing."""
-        import numpy as np
-
+        memoized per storage instance; None under tracing.  Pulls from
+        the device when no host copy exists (slow over the TPU tunnel;
+        construction from numpy arrays pre-seeds the cache)."""
         cache = getattr(self, "_np_cache", None)
         if cache is None:
             cache = self._np_cache = {}
@@ -512,6 +650,20 @@ class SparseStorage:
                 return None
             cache[name] = np.ascontiguousarray(np.asarray(arr), np.int64)
         return cache[name]
+
+    def numpy_view_cached(self, name: str) -> Optional[np.ndarray]:
+        """Host copy if obtainable WITHOUT any device transfer: cached,
+        or derivable on host from another cached view. None otherwise."""
+        v = self._np_cached(name)
+        if v is not None:
+            return v
+        if name == "row" and self._np_cached("rowptr") is not None:
+            self.row()
+            return self._np_cached("row")
+        if name == "rowptr" and self._np_cached("row") is not None:
+            self.rowptr()
+            return self._np_cached("rowptr")
+        return None
 
     # ------------------------------------------------------------------
     # Coalescing (reference storage.py:431-466). Output nnz is
@@ -525,6 +677,9 @@ class SparseStorage:
         return not bool(jnp.any(same))
 
     def coalesce(self, reduce: str = "add") -> "SparseStorage":
+        hrow, hcol = self._np_cached("row"), self._np_cached("col")
+        if hrow is not None and hcol is not None:
+            return self._coalesce_host(hrow, hcol, reduce)
         row, col, value = self.row(), self._col, self._value
         E = row.shape[0]
         if E == 0:
@@ -550,6 +705,66 @@ class SparseStorage:
             new_value = segment_reduce(
                 value, seg, n_out, reduce=reduce, indices_are_sorted=True
             )
+        return SparseStorage(
+            row=new_row, rowptr=None, col=new_col, value=new_value,
+            sparse_sizes=self._sparse_sizes, is_sorted=True, trust_data=True,
+        )
+
+    # Pull budget for routing a concrete device value array through the
+    # host coalesce path (tunnel pulls run ~35 MB/s; beyond this the
+    # device segment_reduce wins even with its one-off compile).
+    _COALESCE_PULL_MAX_BYTES = 1 << 26
+
+    def _coalesce_host(self, hrow: np.ndarray, hcol: np.ndarray,
+                       reduce: str) -> "SparseStorage":
+        """Dedupe on host arrays: no device round-trip for the indices,
+        numpy ``reduceat`` for host-sized values, device segment_reduce
+        (with a host-computed, pushed segment map) for big/traced ones."""
+        E = hrow.shape[0]
+        if E == 0:
+            return self
+        keep = np.concatenate(
+            [[True], (hrow[1:] != hrow[:-1]) | (hcol[1:] != hcol[:-1])]
+        )
+        if keep.all():
+            return self
+        new_row = hrow[keep]
+        new_col = hcol[keep]
+        value = self._value
+        new_value = None
+        if value is not None:
+            starts = np.flatnonzero(keep)
+            pull_ok = (
+                _is_concrete(value)
+                and value.size * value.dtype.itemsize
+                <= self._COALESCE_PULL_MAX_BYTES
+            )
+            if pull_ok:
+                v = np.asarray(value)
+                if reduce in ("add", "sum"):
+                    out = np.add.reduceat(v, starts, axis=0)
+                elif reduce == "mean":
+                    cnt = np.diff(np.concatenate([starts, [E]]))
+                    shape = (-1,) + (1,) * (v.ndim - 1)
+                    out = (np.add.reduceat(v.astype(np.float64), starts,
+                                           axis=0)
+                           / cnt.reshape(shape)).astype(v.dtype)
+                elif reduce == "min":
+                    out = np.minimum.reduceat(v, starts, axis=0)
+                elif reduce == "max":
+                    out = np.maximum.reduceat(v, starts, axis=0)
+                else:
+                    raise ValueError(f"Unknown reduce: {reduce!r}")
+                new_value = jnp.asarray(out)
+            else:
+                seg = jnp.asarray(
+                    (np.cumsum(keep) - 1).astype(np.int64 if E >= 2**31
+                                                 else np.int32)
+                )
+                new_value = segment_reduce(
+                    value, seg, int(new_row.shape[0]), reduce=reduce,
+                    indices_are_sorted=True,
+                )
         return SparseStorage(
             row=new_row, rowptr=None, col=new_col, value=new_value,
             sparse_sizes=self._sparse_sizes, is_sorted=True, trust_data=True,
