@@ -40,3 +40,13 @@ def test_train_sage_minibatch():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "minibatch SAGE" in r.stdout
+
+
+def test_train_cluster_gcn():
+    r = _run(
+        "examples/train_cluster_gcn.py", "--epochs", "2", "--nodes", "300",
+        "--edges", "2400", "--features", "16", "--hidden", "8",
+        "--classes", "4", "--parts", "4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "full-graph train accuracy" in r.stdout
