@@ -173,15 +173,11 @@ def main():
         CHUNK = 8192
         for lo in range(0, M, CHUNK):
             hi = min(lo + CHUNK, M)
-            rp = np.empty(hi - lo + 1, np.int64)
-            import ctypes
-            from pytorch_sparse_tpu.csrc.bindings import _p
-            lib.spgemm_nnz.restype = ctypes.c_int64
-            nnzC += lib.spgemm_nnz(
-                _p(rowptr), _p(col), _p(rowptr), _p(col),
-                ctypes.c_int64(M), ctypes.c_int64(lo), ctypes.c_int64(hi),
-                _p(rp),
+            rp, _, _ = bindings.spgemm(
+                rowptr, col, None, rowptr, col, None, M,
+                row_lo=lo, row_hi=hi, count_only=True,
             )
+            nnzC += int(rp[-1])
         report["AA_nnz_exact"] = int(nnzC)
         report["AA_count_pass_s"] = round(time.time() - t0, 1)
 

@@ -426,12 +426,15 @@ def spgemm(
     rowptrA: np.ndarray, colA: np.ndarray, valA: Optional[np.ndarray],
     rowptrB: np.ndarray, colB: np.ndarray, valB: Optional[np.ndarray],
     P: int, row_lo: int = 0, row_hi: Optional[int] = None,
-) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    count_only: bool = False,
+) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
     """Gustavson SpGEMM over the A-row range [row_lo, row_hi).
 
     Returns (rowptrC, colC, valC) with rowptrC local to the range
     (length ``row_hi - row_lo + 1``), colC ascending per row, valC float64
-    (None when both inputs are unweighted).
+    (None when both inputs are unweighted).  ``count_only=True`` skips
+    the numeric pass: only rowptrC is filled (colC/valC are None) — the
+    structure-count mode for products whose output would not fit.
     """
     if row_hi is None:
         row_hi = rowptrA.shape[0] - 1
@@ -447,6 +450,8 @@ def spgemm(
         _p(rowptrA), _p(colA), _p(rowptrB), _p(colB), ctypes.c_int64(P),
         ctypes.c_int64(row_lo), ctypes.c_int64(row_hi), _p(rowptrC),
     )
+    if count_only:
+        return rowptrC, None, None
     colC = np.empty(nnz, np.int64)
     with_val = va is not None or vb is not None
     valC = np.empty(nnz, np.float64) if with_val else None

@@ -223,15 +223,17 @@ def spspmm_diag(A: SparseTensor, B: SparseTensor) -> jnp.ndarray:
     colA = A.storage.numpy_view("col")
     rowB = B.storage.numpy_view("row")
     colB = B.storage.numpy_view("col")
+    dtype = _value_dtype(A, B)
+    if rowB.shape[0] == 0 or rowA.shape[0] == 0:
+        return jnp.zeros(D, jnp.float32 if dtype is None else dtype)
     keyB = rowB * P + colB  # sorted ascending (COO invariant)
     sel = rowA < P  # only (i, k) with i a valid B-column can hit the diag
     q = colA[sel] * P + rowA[sel]
     pos = np.searchsorted(keyB, q)
-    pos_c = np.minimum(pos, keyB.shape[0] - 1) if keyB.shape[0] else pos
-    hit = (keyB.shape[0] > 0) & (pos < keyB.shape[0]) & (keyB[pos_c] == q)
+    pos_c = np.minimum(pos, keyB.shape[0] - 1)
+    hit = (pos < keyB.shape[0]) & (keyB[pos_c] == q)
 
     va, vb = A.storage.value(), B.storage.value()
-    dtype = _value_dtype(A, B)
     if dtype is None:
         terms = np.ones(int(np.sum(hit)), np.float32)
         dtype = jnp.float32

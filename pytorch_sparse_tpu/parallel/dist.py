@@ -390,7 +390,7 @@ def _ring_local(Mb, Pn, itabs, vtabs, inv, x_local):
     return out[None]
 
 
-def _halo_local(H, int_itabs, int_vtabs, int_inv,
+def _halo_local(int_itabs, int_vtabs, int_inv,
                 fr_itabs, fr_vtabs, fr_inv, serve_idx, x_local):
     x = x_local[0]                                  # (Nb, K)
     K = x.shape[1]
@@ -419,7 +419,7 @@ def dist_spmm_halo(
     only the referenced remote rows. Returns (P, Mb, K)."""
     spec3 = P(data_axis, None, None)
     fn = jax.shard_map(
-        partial(_halo_local, A.halo_width),
+        _halo_local,
         mesh=A.mesh,
         in_specs=(
             tuple(spec3 for _ in A.int_itabs),

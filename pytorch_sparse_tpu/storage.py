@@ -64,9 +64,11 @@ def _host_int64(x) -> Optional[np.ndarray]:
     Device arrays return None on purpose: the remote-TPU tunnel pulls
     device->host at ~35 MB/s (vs ~1 GB/s host->device), so host-side
     fast paths only activate for data that never left the host.
+    Always a fresh copy — the cache must not alias caller-owned memory
+    the caller may mutate after construction.
     """
     if isinstance(x, np.ndarray):
-        return np.ascontiguousarray(x, dtype=np.int64)
+        return np.array(x, dtype=np.int64, copy=True, order="C")
     if isinstance(x, (list, tuple)):
         return np.asarray(x, dtype=np.int64)
     return None
@@ -188,7 +190,10 @@ class SparseStorage:
                 assert int(hp[0]) == 0 and int(hp[-1]) == col.shape[0]
 
         if value is not None:
-            value = jnp.asarray(value)
+            # numpy values stay on host until after the sort block so the
+            # host fast path can permute them without a device gather.
+            if not isinstance(value, np.ndarray):
+                value = jnp.asarray(value)
             assert value.shape[0] == col.shape[0]
 
         if rowcount is not None:
@@ -253,8 +258,16 @@ class SparseStorage:
                     row = row[perm]
                     col = col[perm]
                     if value is not None:
+                        if isinstance(value, np.ndarray):
+                            value = jnp.asarray(value)
                         value = value[perm]
                     csr2csc = csc2csr = None
+                    # The device sort reordered the indices; any host
+                    # copy captured above is now stale — drop it.
+                    host_row = host_col = None
+
+        if isinstance(value, np.ndarray):
+            value = jnp.asarray(value)
 
         self._row = row
         self._rowptr = rowptr
@@ -677,7 +690,8 @@ class SparseStorage:
         return not bool(jnp.any(same))
 
     def coalesce(self, reduce: str = "add") -> "SparseStorage":
-        hrow, hcol = self._np_cached("row"), self._np_cached("col")
+        hrow = self.numpy_view_cached("row")
+        hcol = self.numpy_view_cached("col")
         if hrow is not None and hcol is not None:
             return self._coalesce_host(hrow, hcol, reduce)
         row, col, value = self.row(), self._col, self._value

@@ -153,3 +153,14 @@ def test_chunked_gradients_flow():
         va_p = va0.at[i].add(eps)
         fd = (float(loss(va_p, vb0)) - f0) / eps
         assert abs(fd - float(ga[i])) < 5e-1 * max(1.0, abs(fd))
+
+
+def test_spspmm_diag_empty_operands():
+    A = SparseTensor(row=jnp.array([0, 1]), col=jnp.array([1, 0]),
+                     value=jnp.array([2.0, 3.0]), sparse_sizes=(2, 2))
+    B = SparseTensor(row=jnp.zeros(0, jnp.int32), col=jnp.zeros(0, jnp.int32),
+                     value=jnp.zeros(0, jnp.float32), sparse_sizes=(2, 2),
+                     is_sorted=True, trust_data=True)
+    assert np.asarray(spspmm_diag(A, B)).tolist() == [0.0, 0.0]
+    assert np.asarray(spspmm_diag(B, A)).tolist() == [0.0, 0.0]
+    assert np.asarray(spspmm_diag(B, B)).tolist() == [0.0, 0.0]

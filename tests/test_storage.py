@@ -169,3 +169,46 @@ def test_sparse_reshape_beyond_int32():
     flat = (M - 1) * M + (M - 1)
     assert int(r[0]) == flat // (M // 2)
     assert int(c[0]) == flat % (M // 2)
+
+
+def test_mixed_host_device_inputs_no_stale_cache():
+    # Device-path sort (only one index numpy) must not leave a stale
+    # pre-sort host copy serving the host fast paths.
+    import numpy as np
+
+    row_np = np.array([2, 0, 1, 0])
+    col_dev = jnp.array([0, 1, 2, 0])
+    st = SparseStorage(row=row_np, col=col_dev, sparse_sizes=(3, 3))
+    assert st.rowptr().tolist() == [0, 2, 3, 4]
+    assert st.row().tolist() == [0, 0, 1, 2]
+    # and the symmetric case: any host copy of col must match the
+    # post-sort device array, not the caller's pre-sort input
+    st2 = SparseStorage(row=jnp.asarray(row_np), col=np.array([0, 1, 2, 0]),
+                        sparse_sizes=(3, 3))
+    assert st2.numpy_view("col").tolist() == st2.col().tolist()
+    # pairs (2,0),(0,1),(1,2),(0,0) sort to (0,0),(0,1),(1,2),(2,0)
+    assert st2.col().tolist() == [0, 1, 2, 0]
+    assert st2.row().tolist() == [0, 0, 1, 2]
+
+
+def test_host_cache_does_not_alias_caller_memory():
+    import numpy as np
+
+    row = np.array([0, 0, 1, 2], dtype=np.int64)
+    col = np.array([0, 1, 0, 2], dtype=np.int64)
+    st = SparseStorage(row=row, col=col, sparse_sizes=(3, 3),
+                       is_sorted=True, trust_data=True)
+    row[:] = 99  # caller reuses its buffer
+    assert st.numpy_view("row").tolist() == [0, 0, 1, 2]
+    assert st.rowptr().tolist() == [0, 2, 3, 4]
+
+
+def test_numpy_value_sorted_on_host_path():
+    import numpy as np
+
+    row = np.array([1, 0, 1, 0])
+    col = np.array([0, 1, 1, 0])
+    val = np.array([10.0, 20.0, 30.0, 40.0], dtype=np.float32)
+    st = SparseStorage(row=row, col=col, value=val, sparse_sizes=(2, 2))
+    # canonical order: (0,0)=40, (0,1)=20, (1,0)=10, (1,1)=30
+    assert st.value().tolist() == [40.0, 20.0, 10.0, 30.0]
