@@ -17,32 +17,35 @@ def masked_select(src: SparseTensor, dim: int, mask) -> SparseTensor:
     assert mask.ndim == 1
 
     if dim == 0:
-        row, col, value = src.coo()
-        row_np = np.asarray(row)
-        rowcount = np.asarray(src.storage.rowcount())[mask]
+        value = src.storage.value()
+        row_np = src.storage.numpy_view("row")
+        col_np = src.storage.numpy_view("col")
+        rowcount = np.diff(src.storage.numpy_view("rowptr"))[mask]
 
         edge_mask = mask[row_np]
         new_row = np.repeat(
             np.arange(rowcount.shape[0], dtype=np.int32), rowcount
         )
-        new_col = jnp.asarray(np.asarray(col)[edge_mask])
+        new_col = col_np[edge_mask]
         if value is not None:
             value = value[jnp.asarray(np.nonzero(edge_mask)[0])]
 
         storage = SparseStorage(
-            row=jnp.asarray(new_row), rowptr=None, col=new_col, value=value,
+            row=new_row, rowptr=None, col=new_col, value=value,
             sparse_sizes=(rowcount.shape[0], src.sparse_size(1)),
-            rowcount=jnp.asarray(rowcount), colptr=None, colcount=None,
+            rowcount=rowcount, colptr=None, colcount=None,
             csr2csc=None, csc2csr=None, is_sorted=True, trust_data=True,
         )
         return src.from_storage(storage)
 
     elif dim == 1:
-        row, col, value = src.coo()
-        csr2csc = np.asarray(src.storage.csr2csc())
-        row_csc = np.asarray(row)[csr2csc]
-        col_csc = np.asarray(col)[csr2csc]
-        colcount = np.asarray(src.storage.colcount())[mask]
+        value = src.storage.value()
+        csr2csc = src.storage.numpy_view("csr2csc")
+        row_csc = src.storage.numpy_view("row")[csr2csc]
+        col_csc = src.storage.numpy_view("col")[csr2csc]
+        colcount = np.bincount(
+            src.storage.numpy_view("col"), minlength=src.sparse_size(1)
+        )[mask]
 
         edge_mask = mask[col_csc]
         new_col = np.repeat(
@@ -57,11 +60,11 @@ def masked_select(src: SparseTensor, dim: int, mask) -> SparseTensor:
             value_out = value[jnp.asarray(sel)][jnp.asarray(csc2csr)]
 
         storage = SparseStorage(
-            row=jnp.asarray(new_row[csc2csr]), rowptr=None,
-            col=jnp.asarray(new_col[csc2csr]), value=value_out,
+            row=new_row[csc2csr], rowptr=None,
+            col=new_col[csc2csr], value=value_out,
             sparse_sizes=(src.sparse_size(0), colcount.shape[0]),
-            rowcount=None, colptr=None, colcount=jnp.asarray(colcount),
-            csr2csc=None, csc2csr=jnp.asarray(csc2csr.astype(np.int32)),
+            rowcount=None, colptr=None, colcount=np.asarray(colcount),
+            csr2csc=None, csc2csr=csc2csr,
             is_sorted=True, trust_data=True,
         )
         return src.from_storage(storage)

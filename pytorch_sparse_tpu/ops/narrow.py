@@ -24,23 +24,45 @@ def narrow(src: SparseTensor, dim: int, start: int, length: int) -> SparseTensor
         start = src.size(dim) + start
 
     if dim == 0:
-        rowptr, col, value = src.csr()
-        rowptr = rowptr[start:start + length + 1]
-        row_start = int(rowptr[0])
-        rowptr = rowptr - row_start
-        row_length = int(rowptr[-1])
+        # Index slicing on host views when available (device slices are
+        # an eager compile per shape on the remote-TPU tunnel).
+        hptr = src.storage.numpy_view_cached("rowptr")
+        hcol = src.storage.numpy_view_cached("col")
+        value = src.storage.value()
+        if hptr is not None and hcol is not None:
+            rowptr = hptr[start:start + length + 1]
+            row_start = int(rowptr[0])
+            rowptr = rowptr - row_start
+            row_length = int(rowptr[-1])
+            row = None
+            if src.storage._row is not None:
+                hrow = src.storage._np_cached("row")
+                if hrow is not None:
+                    row = hrow[row_start:row_start + row_length] - start
+                else:
+                    row = (src.storage._row[row_start:row_start + row_length]
+                           - start)
+            col = hcol[row_start:row_start + row_length]
+            # keep the reference's observable cache contract: rowcount
+            # only survives if it was already filled
+            rowcount = (np.diff(rowptr)
+                        if src.storage._rowcount is not None else None)
+        else:
+            rowptr, col, _ = src.csr()
+            rowptr = rowptr[start:start + length + 1]
+            row_start = int(rowptr[0])
+            rowptr = rowptr - row_start
+            row_length = int(rowptr[-1])
+            row = src.storage._row
+            if row is not None:
+                row = row[row_start:row_start + row_length] - start
+            col = col[row_start:row_start + row_length]
+            rowcount = src.storage._rowcount
+            if rowcount is not None:
+                rowcount = rowcount[start:start + length]
 
-        row = src.storage._row
-        if row is not None:
-            row = row[row_start:row_start + row_length] - start
-
-        col = col[row_start:row_start + row_length]
         if value is not None:
             value = value[row_start:row_start + row_length]
-
-        rowcount = src.storage._rowcount
-        if rowcount is not None:
-            rowcount = rowcount[start:start + length]
 
         storage = SparseStorage(
             row=row, rowptr=rowptr, col=col, value=value,
@@ -52,14 +74,24 @@ def narrow(src: SparseTensor, dim: int, start: int, length: int) -> SparseTensor
 
     elif dim == 1:
         # Faster than the CSC walk (reference narrow.py:44-45).
-        row, col, value = src.coo()
-        mask = np.asarray((col >= start) & (col < start + length))
-        idx = jnp.asarray(np.nonzero(mask)[0])
-
-        row = row[idx]
-        col = col[idx] - start
-        if value is not None:
-            value = value[idx]
+        hrow = src.storage.numpy_view_cached("row")
+        hcol = src.storage.numpy_view_cached("col")
+        value = src.storage.value()
+        if hrow is not None and hcol is not None:
+            mask = (hcol >= start) & (hcol < start + length)
+            idx_np = np.nonzero(mask)[0]
+            row = hrow[idx_np]
+            col = hcol[idx_np] - start
+            if value is not None:
+                value = value[jnp.asarray(idx_np)]
+        else:
+            row, col, _ = src.coo()
+            mask = np.asarray((col >= start) & (col < start + length))
+            idx = jnp.asarray(np.nonzero(mask)[0])
+            row = row[idx]
+            col = col[idx] - start
+            if value is not None:
+                value = value[idx]
 
         colptr = src.storage._colptr
         if colptr is not None:
