@@ -54,6 +54,10 @@ def build_graph(scale: float, seed: int = 0):
     return M, src, dst
 
 
+def _log(msg):
+    print(f"[products_pipeline] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0)
@@ -70,7 +74,7 @@ def main():
 
     t0 = time.time()
     M, src, dst = build_graph(args.scale)
-    report["build_graph_s"] = round(time.time() - t0, 2)
+    _log("at build_graph_s"); report["build_graph_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     # Numpy construction keeps sort/coalesce on the host and seeds the
@@ -80,13 +84,13 @@ def main():
     ).coalesce("add")
     E = int(A.nnz())
     A = A.set_value(jnp.ones(E, jnp.float32), layout="coo")
-    report["construct_coalesce_s"] = round(time.time() - t0, 2)
+    _log("at construct_coalesce_s"); report["construct_coalesce_s"] = round(time.time() - t0, 2)
     report["nodes"], report["nnz"] = M, E
 
     # 2. 8-way partition
     t0 = time.time()
     padj, partptr, perm = A.partition(args.parts)
-    report["partition_s"] = round(time.time() - t0, 1)
+    _log("at partition_s"); report["partition_s"] = round(time.time() - t0, 1)
     pp = np.asarray(partptr)
     sizes = np.diff(pp)
     report["part_sizes"] = sizes.tolist()
@@ -96,7 +100,7 @@ def main():
     pcol = padj.storage.numpy_view("col")
     part_of = np.searchsorted(pp, np.arange(M), side="right") - 1
     cut = int((part_of[prow] != part_of[pcol]).sum())
-    report["edge_cut_frac"] = round(cut / E, 4)
+    _log("at edge_cut_frac"); report["edge_cut_frac"] = round(cut / E, 4)
 
     # 3. per-partition SpMM over the diagonal blocks (ClusterGCN layout)
     K = args.feat
@@ -108,12 +112,16 @@ def main():
         blk.storage.ell()
         blk.storage.ell_t()
         X = jnp.asarray(rng.randn(hi - lo, K).astype(np.float32))
-        dt = device_time(lambda m, b=blk: ts.spmm_sum(b, m), X)
+        # Pass the block as a jit ARGUMENT: closure-constant ELL tables
+        # at ~15M-edge blocks take minutes per remote compile
+        # (CLAUDE.md closure-vs-argument note).
+        dt = device_time(lambda b, m: ts.spmm_sum(b, m), blk, X)
         block_times.append(dt)
+        _log(f"part {p}: {dt*1e3:.2f} ms")
     report["per_part_spmm_ms"] = [round(t * 1e3, 2) for t in block_times]
     intra_nnz = E - cut
     report["per_part_spmm_total_ms"] = round(sum(block_times) * 1e3, 2)
-    report["per_part_spmm_mnnz_per_s"] = round(
+    _log("at per_part_spmm_mnnz_per_s"); report["per_part_spmm_mnnz_per_s"] = round(
         intra_nnz / sum(block_times) / 1e6, 1)
 
     # 4. SAINT subgraph sampling
@@ -123,7 +131,7 @@ def main():
         idx = np.random.RandomState(i).choice(M, sample_n, replace=False)
         sub, e_id = ts.saint_subgraph(A, jnp.asarray(np.sort(idx)))
     dt = (time.time() - t0) / n_iter
-    report["saint_20k_sample_s"] = round(dt, 3)
+    _log("at saint_20k_sample_s"); report["saint_20k_sample_s"] = round(dt, 3)
 
     # 5. neighbor sampling (batch 1024, fanouts 15/10/5); host arrays in,
     # so the sampler pipeline never waits on the device.

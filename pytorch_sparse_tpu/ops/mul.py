@@ -26,17 +26,44 @@ def mul(
         if not other.is_coalesced():
             raise ValueError("The `other` tensor is not coalesced")
 
-        rowA, colA, valueA = src.coo()
-        rowB, colB, valueB = other.coo()
+        valueA = src.storage.value()
+        valueB = other.storage.value()
         if valueA is None or valueB is None:
             raise ValueError("Both sparse tensors must contain values")
 
+        M = max(src.sparse_size(0), other.sparse_size(0))
+        N = max(src.sparse_size(1), other.sparse_size(1))
+
+        hrA = src.storage.numpy_view_cached("row")
+        hcA = src.storage.numpy_view_cached("col")
+        hrB = other.storage.numpy_view_cached("row")
+        hcB = other.storage.numpy_view_cached("col")
+        if all(a is not None for a in (hrA, hcA, hrB, hcB)):
+            # Intersection on host views; one device gather pair for the
+            # value product (remote-TPU: device sorts recompile per shape).
+            import numpy as np
+
+            row = np.concatenate([hrA, hrB])
+            col = np.concatenate([hcA, hcB])
+            perm = np.lexsort((col, row))
+            row, col = row[perm], col[perm]
+            dup = np.concatenate(
+                [[False], (row[1:] == row[:-1]) & (col[1:] == col[:-1])]
+            )
+            idx = np.flatnonzero(dup)
+            value_cat = jnp.concatenate([valueA, valueB])
+            vleft = value_cat[jnp.asarray(perm[idx - 1])]
+            vright = value_cat[jnp.asarray(perm[idx])]
+            return SparseTensor(
+                row=row[idx], col=col[idx], value=vleft * vright,
+                sparse_sizes=(M, N), is_sorted=True, trust_data=True,
+            )
+
+        rowA, colA, _ = src.coo()
+        rowB, colB, _ = other.coo()
         row = jnp.concatenate([rowA, rowB])
         col = jnp.concatenate([colA, colB])
         value = jnp.concatenate([valueA, valueB])
-
-        M = max(src.sparse_size(0), other.sparse_size(0))
-        N = max(src.sparse_size(1), other.sparse_size(1))
 
         perm = lexsort_rows(row, col)
         row, col, value = row[perm], col[perm], value[perm]
