@@ -79,11 +79,13 @@ def main():
     t0 = time.time()
     # Numpy construction keeps sort/coalesce on the host and seeds the
     # storage host-view cache (samplers + partitioner consume it).
+    # Unweighted end-to-end (the ClusterGCN layout partitions the raw
+    # adjacency): with no value array, permute/sampler value gathers —
+    # eager per-shape device compiles on the remote tunnel — never run.
     A = ts.SparseTensor(
         row=src, col=dst, sparse_sizes=(M, M),
     ).coalesce("add")
     E = int(A.nnz())
-    A = A.set_value(jnp.ones(E, jnp.float32), layout="coo")
     _log("at construct_coalesce_s"); report["construct_coalesce_s"] = round(time.time() - t0, 2)
     report["nodes"], report["nnz"] = M, E
 
@@ -115,7 +117,7 @@ def main():
         # Pass the block as a jit ARGUMENT: closure-constant ELL tables
         # at ~15M-edge blocks take minutes per remote compile
         # (CLAUDE.md closure-vs-argument note).
-        dt = device_time(lambda b, m: ts.spmm_sum(b, m), blk, X)
+        dt = device_time(lambda m, b: ts.spmm_sum(b, m), X, blk)
         block_times.append(dt)
         _log(f"part {p}: {dt*1e3:.2f} ms")
     report["per_part_spmm_ms"] = [round(t * 1e3, 2) for t in block_times]

@@ -11,8 +11,22 @@ from typing import List, Optional, Tuple, Union
 
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..storage import SparseStorage
 from ..tensor import SparseTensor
+
+
+def _idx(storage, attr: str, name: str):
+    """An index cache for concatenation: the host copy when one exists
+    (keeps the concat + downstream sort/derive work off the device — one
+    eager device op per new shape costs a remote compile on the TPU
+    tunnel), else the device array."""
+    arr = getattr(storage, attr)
+    if arr is None:
+        return None
+    h = storage._np_cached(name)
+    return h if h is not None else arr
 
 
 def cat(
@@ -47,22 +61,24 @@ def cat(
 
 
 def _cat_or_none(parts, n_tensors):
-    if len(parts) == n_tensors:
-        return jnp.concatenate(parts, axis=0)
-    return None
+    if len(parts) != n_tensors:
+        return None
+    if all(isinstance(p, np.ndarray) for p in parts):
+        return np.concatenate(parts, axis=0)
+    return jnp.concatenate([jnp.asarray(p) for p in parts], axis=0)
 
 
 def cat_first(tensors: List[SparseTensor]) -> SparseTensor:
     rows, rowptrs, cols, values, rowcounts = [], [], [], [], []
     M, N, nnz = 0, 0, 0
     for tensor in tensors:
-        row = tensor.storage._row
+        row = _idx(tensor.storage, "_row", "row")
         if row is not None:
             rows.append(row + M)
-        rowptr = tensor.storage._rowptr
+        rowptr = _idx(tensor.storage, "_rowptr", "rowptr")
         if rowptr is not None:
             rowptrs.append(rowptr[1:] + nnz if len(rowptrs) > 0 else rowptr)
-        cols.append(tensor.storage._col)
+        cols.append(_idx(tensor.storage, "_col", "col"))
         value = tensor.storage._value
         if value is not None:
             values.append(value)
@@ -76,7 +92,7 @@ def cat_first(tensors: List[SparseTensor]) -> SparseTensor:
     n = len(tensors)
     storage = SparseStorage(
         row=_cat_or_none(rows, n), rowptr=_cat_or_none(rowptrs, n),
-        col=jnp.concatenate(cols), value=_cat_or_none(values, n),
+        col=_cat_or_none(cols, n), value=_cat_or_none(values, n),
         sparse_sizes=(M, N), rowcount=_cat_or_none(rowcounts, n),
         colptr=None, colcount=None, csr2csc=None, csc2csr=None,
         is_sorted=True, trust_data=True,
@@ -88,12 +104,13 @@ def cat_second(tensors: List[SparseTensor]) -> SparseTensor:
     rows, cols, values, colptrs, colcounts = [], [], [], [], []
     M, N, nnz = 0, 0, 0
     for tensor in tensors:
-        row, _, value = tensor.coo()
-        rows.append(row)
-        cols.append(tensor.storage._col + N)
+        value = tensor.storage.value()
+        hrow = tensor.storage.numpy_view_cached("row")
+        rows.append(hrow if hrow is not None else tensor.storage.row())
+        cols.append(_idx(tensor.storage, "_col", "col") + N)
         if value is not None:
             values.append(value)
-        colptr = tensor.storage._colptr
+        colptr = _idx(tensor.storage, "_colptr", "colptr")
         if colptr is not None:
             colptrs.append(colptr[1:] + nnz if len(colptrs) > 0 else colptr)
         colcount = tensor.storage._colcount
@@ -105,8 +122,8 @@ def cat_second(tensors: List[SparseTensor]) -> SparseTensor:
 
     n = len(tensors)
     storage = SparseStorage(
-        row=jnp.concatenate(rows), rowptr=None,
-        col=jnp.concatenate(cols), value=_cat_or_none(values, n),
+        row=_cat_or_none(rows, n), rowptr=None,
+        col=_cat_or_none(cols, n), value=_cat_or_none(values, n),
         sparse_sizes=(M, N), rowcount=None,
         colptr=_cat_or_none(colptrs, n), colcount=_cat_or_none(colcounts, n),
         csr2csc=None, csc2csr=None, is_sorted=False,
@@ -119,13 +136,13 @@ def cat_diag(tensors: List[SparseTensor]) -> SparseTensor:
     rowcounts, colptrs, colcounts, csr2cscs, csc2csrs = [], [], [], [], []
     M, N, nnz = 0, 0, 0
     for tensor in tensors:
-        row = tensor.storage._row
+        row = _idx(tensor.storage, "_row", "row")
         if row is not None:
             rows.append(row + M)
-        rowptr = tensor.storage._rowptr
+        rowptr = _idx(tensor.storage, "_rowptr", "rowptr")
         if rowptr is not None:
             rowptrs.append(rowptr[1:] + nnz if len(rowptrs) > 0 else rowptr)
-        cols.append(tensor.storage._col + N)
+        cols.append(_idx(tensor.storage, "_col", "col") + N)
         value = tensor.storage._value
         if value is not None:
             values.append(value)
@@ -138,10 +155,10 @@ def cat_diag(tensors: List[SparseTensor]) -> SparseTensor:
         colcount = tensor.storage._colcount
         if colcount is not None:
             colcounts.append(colcount)
-        csr2csc = tensor.storage._csr2csc
+        csr2csc = _idx(tensor.storage, "_csr2csc", "csr2csc")
         if csr2csc is not None:
             csr2cscs.append(csr2csc + nnz)
-        csc2csr = tensor.storage._csc2csr
+        csc2csr = _idx(tensor.storage, "_csc2csr", "csc2csr")
         if csc2csr is not None:
             csc2csrs.append(csc2csr + nnz)
         M += tensor.sparse_size(0)
@@ -151,7 +168,7 @@ def cat_diag(tensors: List[SparseTensor]) -> SparseTensor:
     n = len(tensors)
     storage = SparseStorage(
         row=_cat_or_none(rows, n), rowptr=_cat_or_none(rowptrs, n),
-        col=jnp.concatenate(cols), value=_cat_or_none(values, n),
+        col=_cat_or_none(cols, n), value=_cat_or_none(values, n),
         sparse_sizes=(M, N), rowcount=_cat_or_none(rowcounts, n),
         colptr=_cat_or_none(colptrs, n), colcount=_cat_or_none(colcounts, n),
         csr2csc=_cat_or_none(csr2cscs, n), csc2csr=_cat_or_none(csc2csrs, n),

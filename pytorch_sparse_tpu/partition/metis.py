@@ -172,11 +172,15 @@ def partition(
 
     cluster = partition_fn(rowptr_np, col_np, num_parts, nw)
 
-    cluster_j = jnp.asarray(cluster, INDEX_DTYPE)
-    perm = jnp.argsort(cluster_j, stable=True).astype(INDEX_DTYPE)
-    out = permute(src, perm)
-    partptr = ind2ptr(cluster_j[perm], num_parts)
-    return out, partptr, perm
+    # Permutation/partptr math on host (the permute() below consumes
+    # host views; a device argsort here is an eager per-shape compile).
+    perm_np = np.argsort(cluster, kind="stable")
+    out = permute(src, perm_np)
+    partptr = jnp.asarray(
+        np.searchsorted(cluster[perm_np],
+                        np.arange(num_parts + 1)).astype(np.int64)
+    ).astype(INDEX_DTYPE)
+    return out, partptr, jnp.asarray(perm_np.astype(np.int64), INDEX_DTYPE)
 
 
 SparseTensor.partition = (

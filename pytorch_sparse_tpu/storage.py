@@ -379,8 +379,12 @@ class SparseStorage:
             csr2csc=self._csr2csc, csc2csr=self._csc2csr,
             is_sorted=True, trust_data=True,
         )
-        # ELL views index edges, not values — they survive value swaps.
+        # ELL views and host copies index edges, not values — they
+        # survive value swaps.
         out._ell, out._ell_t = self._ell, self._ell_t
+        cache = getattr(self, "_np_cache", None)
+        if cache:
+            out._np_cache = dict(cache)
         return out
 
     # The reference distinguishes in-place `set_value_`; arrays are
@@ -829,6 +833,9 @@ class SparseStorage:
             csc2csr=self._csc2csr, is_sorted=True, trust_data=True,
         )
         out._ell, out._ell_t = self._ell, self._ell_t
+        cache = getattr(self, "_np_cache", None)
+        if cache:
+            out._np_cache = dict(cache)
         return out
 
     clone = copy  # JAX arrays are immutable; copy == clone.
