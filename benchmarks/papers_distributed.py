@@ -111,8 +111,9 @@ def chip():
     A.storage.ell_t()
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(Mb, K).astype(np.float32))
-    # Big tables: pass as jit ARGUMENT (see BASELINE.md large-graph note).
-    dt = device_time(lambda a, m: ts.spmm_sum(a, m), A, x)
+    # Big tables: pass as jit ARGUMENT (see BASELINE.md large-graph
+    # note); the dense operand is the chained carry.
+    dt = device_time(lambda m, a: ts.spmm_sum(a, m), x, A)
     return {
         "shard_rows": Mb, "shard_nnz": Eb, "K": K,
         "shard_spmm_ms": round(dt * 1e3, 2),
@@ -129,9 +130,10 @@ def model(chip_ms=None, cut_frac=0.05):
     Mb = M_FULL // P_POD
     Eb = E_FULL // P_POD
     if chip_ms is None:
-        # measured on v5e (benchmarks/BENCH notes); v5p is faster but
-        # use the conservative number.
-        chip_ms = 160.0   # ~25M-edge shard at K=128, ELL path
+        # measured on v5e via --chip: 1.735M-row / 25.2M-edge shard at
+        # K=128 = 148.8 ms (169.7 Mnnz/s); v5p is faster, so this is
+        # conservative.
+        chip_ms = 148.8
     compute_s = chip_ms / 1e3
 
     # ring: rotate full (Nb, K) blocks; P-1 transfers of Nb*K*4 bytes,
