@@ -44,21 +44,29 @@ def available() -> bool:
 def multilevel_partition(
     rowptr: np.ndarray, col: np.ndarray, num_parts: int,
     node_weight: Optional[np.ndarray] = None, seed: int = 1,
-    imbalance: float = 0.05,
+    imbalance: float = 0.05, edge_weight: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, int]:
-    """METIS-style multilevel k-way partition; returns (cluster, cut)."""
+    """METIS-style multilevel k-way partition; returns (cluster, cut).
+
+    ``edge_weight`` (int64, nnz) seeds heavy-edge matching + refinement
+    gains (the METIS adjwgt analogue; reference ``weighted=True``)."""
     n = rowptr.shape[0] - 1
     cluster = np.empty(n, np.int64)
     nw = (
         np.ascontiguousarray(node_weight, np.float64)
         if node_weight is not None else None
     )
-    lib.multilevel_partition.restype = ctypes.c_int64
-    cut = lib.multilevel_partition(
+    ew = (
+        np.ascontiguousarray(edge_weight, np.int64)
+        if edge_weight is not None else None
+    )
+    lib.multilevel_partition_ew.restype = ctypes.c_int64
+    cut = lib.multilevel_partition_ew(
         _p(np.ascontiguousarray(rowptr, np.int64)),
         _p(np.ascontiguousarray(col, np.int64)),
         ctypes.c_int64(n),
         _pd(nw) if nw is not None else None,
+        _p(ew) if ew is not None else None,
         ctypes.c_int64(num_parts), ctypes.c_uint64(seed),
         ctypes.c_double(imbalance), _p(cluster),
     )

@@ -20,6 +20,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -418,18 +419,25 @@ void refine_level(const std::vector<int64_t> &rowptr,
 
 }  // namespace
 
-int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
-                             int64_t n_nodes, const double *node_w,
-                             int64_t num_parts, uint64_t seed,
-                             double imbalance, int64_t *cluster_out) {
+int64_t multilevel_partition_ew(const int64_t *rowptr_in,
+                                const int64_t *col_in, int64_t n_nodes,
+                                const double *node_w,
+                                const int64_t *edge_w, int64_t num_parts,
+                                uint64_t seed, double imbalance,
+                                int64_t *cluster_out) {
   Rng rng;
   rng_seed(&rng, seed ? seed : 1);
 
-  // Level 0 copies the input with unit edge weights.
+  // Level 0 copies the input; edge weights seed the heavy-edge matching
+  // and the refinement gains (unit weights when NULL — the reference's
+  // unweighted METIS call, metis_cpu.cpp:13-62).
   std::vector<CoarseGraph> levels(1);
   levels[0].rowptr.assign(rowptr_in, rowptr_in + n_nodes + 1);
   levels[0].col.assign(col_in, col_in + rowptr_in[n_nodes]);
-  levels[0].ew.assign(rowptr_in[n_nodes], 1);
+  if (edge_w)
+    levels[0].ew.assign(edge_w, edge_w + rowptr_in[n_nodes]);
+  else
+    levels[0].ew.assign(rowptr_in[n_nodes], 1);
   levels[0].nw.resize(n_nodes);
   double total_w = 0.0;
   for (int64_t v = 0; v < n_nodes; v++) {
@@ -437,6 +445,10 @@ int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
     total_w += levels[0].nw[v];
   }
   const double limit = (1.0 + imbalance) * total_w / (double)num_parts;
+  // Stop coarsening around 24 nodes/part (METIS-like); below that the
+  // contraction merges across community boundaries and the initial cut
+  // degrades.  Small graphs (n < ~2 * target) skip coarsening entirely
+  // and rely on the GGGP init + restarts below.
   const int64_t coarse_target =
       std::max<int64_t>(128, 24 * num_parts);
 
@@ -503,15 +515,24 @@ int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
     levels.push_back(std::move(cg));
   }
 
-  // Initial partition on the coarsest graph: weight-balanced BFS region
-  // growing from random seeds.
+  // Initial partition on the coarsest graph: greedy weighted region
+  // growing (GGGP) — each part repeatedly absorbs the unassigned node
+  // with the heaviest edge-weight connection to it, so heavy edges stay
+  // interior from the start (BFS order ignores weights and strands the
+  // adjwgt contract on graphs too small to coarsen).  The coarse graph
+  // is tiny, so run several randomized restarts and keep the lowest
+  // weighted cut (a single unlucky seed order can trap the greedy
+  // growth + refinement in a bad basin).
   {
     CoarseGraph &g = levels.back();
     const int64_t n = (int64_t)g.nw.size();
+    std::vector<int64_t> best_cl;
+    int64_t best_cut = -1;
+    for (int restart = 0; restart < 4; restart++) {
     std::vector<int64_t> cl(n, -1);
     const double target = total_w / (double)num_parts;
-    std::vector<int64_t> queue;
     int64_t assigned = 0;
+    std::vector<int64_t> conn(n, 0);  // weight into the growing part
     for (int64_t p = 0; p < num_parts && assigned < n; p++) {
       double w = 0.0;
       // seed: first unassigned node (randomized start offset)
@@ -523,22 +544,26 @@ int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
           break;
         }
       }
-      queue.clear();
-      queue.push_back(s);
-      cl[s] = p;
-      assigned++;
-      w += g.nw[s];
-      for (size_t qi = 0; qi < queue.size() && w < target; qi++) {
-        const int64_t v = queue[qi];
-        for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1] && w < target;
-             e++) {
+      // lazy max-heap of (connection weight, node)
+      std::priority_queue<std::pair<int64_t, int64_t>> heap;
+      std::fill(conn.begin(), conn.end(), 0);
+      auto absorb = [&](int64_t v) {
+        cl[v] = p;
+        assigned++;
+        w += g.nw[v];
+        for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1]; e++) {
           const int64_t u = g.col[e];
           if (cl[u] >= 0) continue;
-          cl[u] = p;
-          assigned++;
-          w += g.nw[u];
-          queue.push_back(u);
+          conn[u] += g.ew[e];
+          heap.emplace(conn[u], u);
         }
+      };
+      absorb(s);
+      while (w < target && !heap.empty()) {
+        const auto [cw, v] = heap.top();
+        heap.pop();
+        if (cl[v] >= 0 || cw != conn[v]) continue;  // stale entry
+        absorb(v);
       }
       if (p == num_parts - 1) {
         for (int64_t v = 0; v < n; v++)
@@ -551,10 +576,17 @@ int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
     for (int64_t v = 0; v < n; v++)
       if (cl[v] < 0) cl[v] = num_parts - 1;
     refine_level(g.rowptr, g.col, g.ew, g.nw, cl, num_parts, limit, 8);
-    // Stash on the coarsest level via cluster_out scratch.
-    levels.back().rowptr.shrink_to_fit();
+    int64_t wcut = 0;
+    for (int64_t v = 0; v < n; v++)
+      for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1]; e++)
+        if (cl[v] != cl[g.col[e]]) wcut += g.ew[e];
+    if (best_cut < 0 || wcut < best_cut) {
+      best_cut = wcut;
+      best_cl = cl;
+    }
+    }  // restarts
     // Project back through the levels.
-    std::vector<int64_t> cur = std::move(cl);
+    std::vector<int64_t> cur = std::move(best_cl);
     for (int64_t li = (int64_t)cmaps.size() - 1; li >= 0; li--) {
       const std::vector<int64_t> &cmap = cmaps[li];
       std::vector<int64_t> fine(cmap.size());
@@ -573,6 +605,15 @@ int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
     for (int64_t e = rowptr_in[v]; e < rowptr_in[v + 1]; e++)
       if (cluster_out[v] != cluster_out[col_in[e]]) cut++;
   return cut / 2;
+}
+
+int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
+                             int64_t n_nodes, const double *node_w,
+                             int64_t num_parts, uint64_t seed,
+                             double imbalance, int64_t *cluster_out) {
+  return multilevel_partition_ew(rowptr_in, col_in, n_nodes, node_w,
+                                 nullptr, num_parts, seed, imbalance,
+                                 cluster_out);
 }
 
 // ---------------------------------------------------------------------
@@ -1236,6 +1277,6 @@ void spgemm_fill(const int64_t *rowptrA, const int64_t *colA,
                               row_lo, row_hi, rowptrC, colC, valC);
 }
 
-int64_t sparse_tpu_native_abi_version() { return 2; }
+int64_t sparse_tpu_native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -101,9 +101,19 @@ int64_t partition_refine(const int64_t *rowptr, const int64_t *col,
 // METIS-style multilevel k-way partition (heavy-edge matching coarsening
 // + refinement per level). Returns the achieved edge cut.
 int64_t multilevel_partition(const int64_t *rowptr_in, const int64_t *col_in,
-                             int64_t n_nodes, int64_t *cluster,
-                             const double *node_weight, int64_t n_parts,
-                             uint64_t seed, double imbalance);
+                             int64_t n_nodes, const double *node_weight,
+                             int64_t n_parts, uint64_t seed,
+                             double imbalance, int64_t *cluster);
+
+// Edge-weighted variant: edge_w (nnz int64, NULL = unit weights) seeds
+// the heavy-edge matching and the refinement gains — the analogue of
+// the reference's METIS adjwgt (metis_cpu.cpp:13-62, weighted=True).
+int64_t multilevel_partition_ew(const int64_t *rowptr_in,
+                                const int64_t *col_in, int64_t n_nodes,
+                                const double *node_weight,
+                                const int64_t *edge_w, int64_t n_parts,
+                                uint64_t seed, double imbalance,
+                                int64_t *cluster);
 
 // HGT layer-wise importance sampling over the flattened relation
 // encoding (see hetero_neighbor_sample for the layout).

@@ -30,16 +30,26 @@ from ..utils.convert import INDEX_DTYPE, ind2ptr
 
 
 def weight2metis(weight: jnp.ndarray) -> Optional[jnp.ndarray]:
-    """Map float weights to integer ratios (reference ``metis.py:10-21``)."""
+    """Map float weights to positive integer ratios for the partitioner.
+
+    Same contract as the reference (``metis.py:10-21``): None when all
+    weights are equal, else int64 weights preserving relative magnitude.
+    The mapping differs deliberately: the reference multiplies by
+    ``scale.as_integer_ratio()`` denominators, which collapses to {0, 1}
+    whenever duplicate weights exist (``diff.min() == 0``) and overflows
+    int64 otherwise; here the smallest positive gap maps to one integer
+    step, capped well below int64 so downstream weight sums cannot
+    overflow."""
     w = np.asarray(weight, np.float64)
     sorted_w = np.sort(w)
     diff = sorted_w[1:] - sorted_w[:-1]
     if diff.sum() == 0:
         return None
-    srange = sorted_w[-1] - sorted_w[0]
-    scale = float(diff[diff > 0].min() / srange)
-    tick, arange = np.float64(scale).as_integer_ratio()
-    ratio = (w - sorted_w[0]) / srange * arange + tick
+    min_diff = diff[diff > 0].min()
+    ratio = np.rint((w - sorted_w[0]) / min_diff).astype(np.float64) + 1.0
+    cap = float(1 << 40)
+    if ratio.max() > cap:
+        ratio = np.maximum(ratio * (cap / ratio.max()), 1.0)
     return jnp.asarray(ratio.astype(np.int64))
 
 
@@ -86,9 +96,11 @@ def partition_fn(
     num_parts: int,
     node_weight: Optional[np.ndarray] = None,
     refine: bool = True,
+    edge_weight: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Cluster assignment per node (the native-op analogue of
-    ``torch_sparse::partition``, ``metis_cpu.cpp:13-62``)."""
+    ``torch_sparse::partition``/``partition2``, ``metis_cpu.cpp:13-62``;
+    ``edge_weight`` is the METIS adjwgt analogue)."""
     n = rowptr.shape[0] - 1
 
     from ..csrc import bindings
@@ -100,6 +112,7 @@ def partition_fn(
             rowptr, col, num_parts,
             node_weight.astype(np.float64)
             if node_weight is not None else None,
+            edge_weight=edge_weight,
         )
         return cluster
 
@@ -158,9 +171,18 @@ def partition(
     rowptr_np = src.storage.numpy_view("rowptr")
     col_np = src.storage.numpy_view("col")
 
-    # Edge weights are accepted for API parity; the RCM-chunking
-    # partitioner keys only on structure + node weights.
-    del weighted, recursive
+    # Edge weights (reference weighted=True -> METIS adjwgt,
+    # metis.py:46-50): float values go through weight2metis.
+    ew = None
+    value = src.storage.value()
+    if weighted and value is not None and value.ndim == 1:
+        v = np.asarray(value)
+        if np.issubdtype(v.dtype, np.floating):
+            w2m = weight2metis(v)
+            ew = None if w2m is None else np.asarray(w2m)
+        else:
+            ew = v.astype(np.int64)
+    del recursive
 
     nw = None
     if balance_edge:
@@ -170,7 +192,7 @@ def partition(
     elif node_weight is not None:
         nw = np.asarray(node_weight, np.float64)
 
-    cluster = partition_fn(rowptr_np, col_np, num_parts, nw)
+    cluster = partition_fn(rowptr_np, col_np, num_parts, nw, edge_weight=ew)
 
     # Permutation/partptr math on host (the permute() below consumes
     # host views; a device argsort here is an eager per-shape compile).

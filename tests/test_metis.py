@@ -96,3 +96,56 @@ def test_multilevel_recovers_planted_partition():
     assert frac < 0.10, f"cut fraction {frac:.3f} too high"
     sizes = np.bincount(cluster, minlength=B)
     assert sizes.min() > 0.7 * NB, sizes
+
+
+def test_weighted_partition_respects_edge_weights():
+    # Four 10-node blobs with unit intra-blob cliques. Heavy bridges
+    # (weight 100) join blob0<->blob1 and blob2<->blob3; light bridges
+    # (weight 1, same count) join blob0<->blob2 and blob1<->blob3.
+    # weighted=True must keep the heavy pairs together (reference
+    # metis.py:46-50 adjwgt semantics).
+    import numpy as np
+
+    B = 10
+    rows, cols, vals = [], [], []
+
+    def clique(base, w):
+        for i in range(B):
+            for j in range(B):
+                if i != j:
+                    rows.append(base + i)
+                    cols.append(base + j)
+                    vals.append(w)
+
+    def bridge(a, b, w, k=20):
+        rng = np.random.RandomState(a * 7 + b)
+        for _ in range(k):
+            i, j = rng.randint(0, B, 2)
+            rows.extend([a + i, b + j])
+            cols.extend([b + j, a + i])
+            vals.extend([w, w])
+
+    for base in (0, 10, 20, 30):
+        clique(base, 1.0)
+    bridge(0, 10, 100.0)
+    bridge(20, 30, 100.0)
+    bridge(0, 20, 1.0)
+    bridge(10, 30, 1.0)
+
+    A = SparseTensor(
+        row=np.asarray(rows), col=np.asarray(cols),
+        value=jnp.asarray(np.asarray(vals, np.float32)),
+        sparse_sizes=(4 * B, 4 * B),
+    ).coalesce("add")
+
+    _, partptr, perm = A.partition(2, weighted=True)
+    cluster = np.empty(4 * B, np.int64)
+    pp = np.asarray(partptr)
+    perm_np = np.asarray(perm)
+    for p in range(2):
+        cluster[perm_np[pp[p]:pp[p + 1]]] = p
+    blob = lambda k: cluster[k * B:(k + 1) * B]
+    # heavy pairs end up together
+    assert len(set(blob(0)) | set(blob(1))) == 1
+    assert len(set(blob(2)) | set(blob(3))) == 1
+    assert blob(0)[0] != blob(2)[0]
