@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def run(P, M_per, E_per, K, schedule):
+def run(P, M_per, E_per, K, schedule, partitioned=False):
     from timing import device_time
 
     import pytorch_sparse_tpu as ts
@@ -36,19 +36,48 @@ def run(P, M_per, E_per, K, schedule):
 
     M, E = M_per * P, E_per * P
     rng = np.random.RandomState(0)
-    A = ts.SparseTensor(
-        row=jnp.asarray(rng.randint(0, M, E).astype(np.int32)),
-        col=jnp.asarray(rng.randint(0, M, E).astype(np.int32)),
-        value=jnp.asarray(rng.randn(E).astype(np.float32)),
-        sparse_sizes=(M, M),
-    ).coalesce("add")
+    if partitioned:
+        # Community graph + METIS layout: the low-cut regime where the
+        # halo schedule's referenced-rows-only traffic pays off.
+        n_comm = max(8 * P, 16)
+        comm = rng.randint(0, n_comm, M)
+        order = np.argsort(comm)
+        cp = np.searchsorted(comm[order], np.arange(n_comm + 1))
+        src = rng.randint(0, M, E)
+        intra = rng.rand(E) < 0.9
+        c = comm[src[intra]]
+        dst = rng.randint(0, M, E)
+        dst[intra] = order[
+            cp[c] + (rng.rand(int(intra.sum())) * (cp[c + 1] - cp[c]))
+            .astype(np.int64)
+        ]
+        A = ts.SparseTensor(
+            row=src, col=dst,
+            value=jnp.asarray(rng.randn(E).astype(np.float32)),
+            sparse_sizes=(M, M),
+        ).coalesce("add")
+        if P > 1:
+            A, _, _ = A.partition(P)
+    else:
+        A = ts.SparseTensor(
+            row=rng.randint(0, M, E), col=rng.randint(0, M, E),
+            value=jnp.asarray(rng.randn(E).astype(np.float32)),
+            sparse_sizes=(M, M),
+        ).coalesce("add")
     mesh = make_mesh(P)
     Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh)
     x = Ash.shard_dense(
         jnp.asarray(rng.randn(M, K).astype(np.float32))
     )
     dt = device_time(lambda xs: dist_spmm(Ash, xs, schedule), x)
-    return dt, A.nnz()
+    # Per-chip bytes on the wire per step (hardware-independent).
+    if schedule == "halo":
+        wire = (P - 1) * Ash.halo_width * K * 4
+    elif schedule == "ring":
+        wire = (P - 1) * Ash.Nb * K * 4
+    else:  # allgather
+        wire = (P - 1) * Ash.Nb * K * 4
+    return dt, A.nnz(), wire, Ash.halo_width, Ash.Nb
 
 
 def main():
@@ -58,7 +87,9 @@ def main():
     p.add_argument("--e-per", type=int, default=140_000)
     p.add_argument("--K", type=int, default=128)
     p.add_argument("--schedule", default="ring",
-                   choices=["ring", "allgather"])
+                   choices=["ring", "allgather", "halo"])
+    p.add_argument("--partitioned", action="store_true",
+                   help="community graph + METIS layout (low-cut regime)")
     args = p.parse_args()
 
     avail = len(jax.devices())
@@ -70,13 +101,15 @@ def main():
         if P > avail:
             print(f"P={P:3d} skipped (only {avail} devices)")
             continue
-        dt, nnz = run(P, args.m_per, args.e_per, args.K, args.schedule)
+        dt, nnz, wire, H, Nb = run(P, args.m_per, args.e_per, args.K,
+                                   args.schedule, args.partitioned)
         if t1 is None:
             t1 = dt
         eff = t1 / dt
         print(
             f"P={P:3d} {dt*1e3:9.3f} ms/step  {nnz/dt/1e6:9.1f} Mnnz/s  "
-            f"weak-scaling eff={eff:5.2f}"
+            f"weak-scaling eff={eff:5.2f}  wire/chip={wire/1e6:8.1f} MB "
+            f"(halo {H}/{Nb} rows)"
         )
         sys.stdout.flush()
 

@@ -559,7 +559,21 @@ int64_t multilevel_partition_ew(const int64_t *rowptr_in,
         }
       };
       absorb(s);
-      while (w < target && !heap.empty()) {
+      while (w < target) {
+        if (heap.empty()) {
+          // Frontier exhausted (disconnected coarse graph): reseed from
+          // any unassigned node so the part still reaches its target
+          // weight instead of staying a stranded fragment.
+          int64_t s2 = -1;
+          for (int64_t v = 0; v < n; v++)
+            if (cl[v] < 0) {
+              s2 = v;
+              break;
+            }
+          if (s2 < 0) break;
+          absorb(s2);
+          continue;
+        }
         const auto [cw, v] = heap.top();
         heap.pop();
         if (cl[v] >= 0 || cw != conn[v]) continue;  // stale entry
@@ -580,8 +594,24 @@ int64_t multilevel_partition_ew(const int64_t *rowptr_in,
     for (int64_t v = 0; v < n; v++)
       for (int64_t e = g.rowptr[v]; e < g.rowptr[v + 1]; e++)
         if (cl[v] != cl[g.col[e]]) wcut += g.ew[e];
-    if (best_cut < 0 || wcut < best_cut) {
-      best_cut = wcut;
+    // Balance-aware restart selection: a degenerate split (stranded
+    // tiny parts, one giant part) often has a LOW cut, so min-cut alone
+    // must not win — infeasible attempts are penalized by their excess
+    // weight before the cut breaks ties.
+    std::vector<double> pw(num_parts, 0.0);
+    for (int64_t v = 0; v < n; v++) pw[cl[v]] += g.nw[v];
+    double maxw = 0.0;
+    for (int64_t t = 0; t < num_parts; t++) maxw = std::max(maxw, pw[t]);
+    const double excess = std::max(0.0, maxw - limit);
+    // One unit of imbalance is worth more than any edge: scale excess
+    // by the total edge weight.
+    int64_t total_ew = 0;
+    for (const int64_t w_e : g.ew) total_ew += w_e;
+    const int64_t score =
+        wcut + (int64_t)(excess / std::max(total_w, 1.0) *
+                         (double)(total_ew + 1) * 4.0);
+    if (best_cut < 0 || score < best_cut) {
+      best_cut = score;
       best_cl = cl;
     }
     }  // restarts
