@@ -187,14 +187,21 @@ def main():
     if args.full_numeric:
         # The materialized product (~100 GB at full scale) fits nowhere;
         # stream row blocks through the native Gustavson kernel and
-        # reduce each block to a checksum before discarding it.
+        # reduce each block to a checksum before discarding it.  The
+        # pipeline's A is structure-only, so attach host-side random
+        # values here — otherwise spgemm_fill skips the multiply-
+        # accumulate pass and the "numeric" run measures structure only.
+        val_num = val
+        if val_num is None:
+            val_num = np.random.RandomState(7).rand(col.shape[0])
         t0 = time.time()
         nnzC = 0
         checksum = 0.0
         CHUNK = 8192
         for lo in range(0, M, CHUNK):
             hi = min(lo + CHUNK, M)
-            rp, cc, vv = bindings.spgemm(rowptr, col, val, rowptr, col, val,
+            rp, cc, vv = bindings.spgemm(rowptr, col, val_num,
+                                         rowptr, col, val_num,
                                          M, row_lo=lo, row_hi=hi)
             nnzC += int(rp[-1])
             if vv is not None:

@@ -29,17 +29,8 @@ from ..tensor import SparseTensor
 from ..utils.convert import INDEX_DTYPE, ind2ptr
 
 
-def weight2metis(weight: jnp.ndarray) -> Optional[jnp.ndarray]:
-    """Map float weights to positive integer ratios for the partitioner.
-
-    Same contract as the reference (``metis.py:10-21``): None when all
-    weights are equal, else int64 weights preserving relative magnitude.
-    The mapping differs deliberately: the reference multiplies by
-    ``scale.as_integer_ratio()`` denominators, which collapses to {0, 1}
-    whenever duplicate weights exist (``diff.min() == 0``) and overflows
-    int64 otherwise; here the smallest positive gap maps to one integer
-    step, capped well below int64 so downstream weight sums cannot
-    overflow."""
+def _weight2metis_np(weight) -> Optional[np.ndarray]:
+    """Host-side weight mapping (see :func:`weight2metis`)."""
     w = np.asarray(weight, np.float64)
     sorted_w = np.sort(w)
     diff = sorted_w[1:] - sorted_w[:-1]
@@ -47,10 +38,28 @@ def weight2metis(weight: jnp.ndarray) -> Optional[jnp.ndarray]:
         return None
     min_diff = diff[diff > 0].min()
     ratio = np.rint((w - sorted_w[0]) / min_diff).astype(np.float64) + 1.0
-    cap = float(1 << 40)
+    # Cap below int32: jnp canonicalizes int64 -> int32 (x64 disabled),
+    # so anything larger would silently wrap when converted to a device
+    # array; the native kernels also sum weights into int64 gains.
+    cap = float((1 << 31) - 1)
     if ratio.max() > cap:
         ratio = np.maximum(ratio * (cap / ratio.max()), 1.0)
-    return jnp.asarray(ratio.astype(np.int64))
+    return ratio.astype(np.int64)
+
+
+def weight2metis(weight: jnp.ndarray) -> Optional[jnp.ndarray]:
+    """Map float weights to positive integer ratios for the partitioner.
+
+    Same contract as the reference (``metis.py:10-21``): None when all
+    weights are equal, else integer weights preserving relative
+    magnitude.  The mapping differs deliberately: the reference
+    multiplies by ``scale.as_integer_ratio()`` denominators, which
+    collapses to {0, 1} whenever duplicate weights exist
+    (``diff.min() == 0``) and overflows int64 otherwise; here the
+    smallest positive gap maps to one integer step, capped below int32
+    so device canonicalization cannot wrap."""
+    ratio = _weight2metis_np(weight)
+    return None if ratio is None else jnp.asarray(ratio)
 
 
 def _rcm_order(rowptr, col, n) -> np.ndarray:
@@ -62,9 +71,11 @@ def _rcm_order(rowptr, col, n) -> np.ndarray:
     return sp.csgraph.reverse_cuthill_mckee(A.tocsr(), symmetric_mode=True)
 
 
-def _refine(cluster, rowptr, col, node_w, num_parts, passes=2):
-    """Greedy boundary refinement: move a node to the majority part of its
-    neighbors when that reduces cut and keeps balance within 10%."""
+def _refine(cluster, rowptr, col, node_w, num_parts, passes=2,
+            edge_w=None):
+    """Greedy boundary refinement: move a node to the (edge-weighted)
+    majority part of its neighbors when that reduces cut and keeps
+    balance within 10%."""
     n = cluster.shape[0]
     part_w = np.bincount(cluster, weights=node_w, minlength=num_parts)
     limit = 1.1 * node_w.sum() / num_parts
@@ -75,7 +86,11 @@ def _refine(cluster, rowptr, col, node_w, num_parts, passes=2):
             neigh = col[rowptr[v]:rowptr[v + 1]]
             if neigh.shape[0] == 0:
                 continue
-            counts = np.bincount(cluster[neigh], minlength=num_parts)
+            counts = np.bincount(
+                cluster[neigh], minlength=num_parts,
+                weights=(edge_w[rowptr[v]:rowptr[v + 1]]
+                         if edge_w is not None else None),
+            )
             q = int(np.argmax(counts))
             if q == p or counts[q] <= counts[p]:
                 continue
@@ -135,14 +150,18 @@ def partition_fn(
     if refine and num_parts > 1:
         from ..csrc import bindings
 
-        if bindings.available():
+        if bindings.available() and edge_weight is None:
             cluster = bindings.partition_refine(
                 np.ascontiguousarray(rowptr, np.int64),
                 np.ascontiguousarray(col, np.int64),
                 cluster, w, num_parts,
             )
         else:
-            cluster = _refine(cluster, rowptr, col, w, num_parts)
+            # numpy fallback honors edge weights in the refinement
+            # sweep (the RCM-chunking init itself is structural).
+            cluster = _refine(cluster, rowptr, col, w, num_parts,
+                              edge_w=(edge_weight.astype(np.float64)
+                                      if edge_weight is not None else None))
     return cluster
 
 
@@ -178,8 +197,7 @@ def partition(
     if weighted and value is not None and value.ndim == 1:
         v = np.asarray(value)
         if np.issubdtype(v.dtype, np.floating):
-            w2m = weight2metis(v)
-            ew = None if w2m is None else np.asarray(w2m)
+            ew = _weight2metis_np(v)  # host-side: no device round-trip
         else:
             ew = v.astype(np.int64)
     del recursive
@@ -195,14 +213,16 @@ def partition(
     cluster = partition_fn(rowptr_np, col_np, num_parts, nw, edge_weight=ew)
 
     # Permutation/partptr math on host (the permute() below consumes
-    # host views; a device argsort here is an eager per-shape compile).
+    # host views; a device argsort here is an eager per-shape compile;
+    # numpy-cast before the transfer so no device cast ever runs).
+    np_index = np.dtype(INDEX_DTYPE)
     perm_np = np.argsort(cluster, kind="stable")
     out = permute(src, perm_np)
-    partptr = jnp.asarray(
-        np.searchsorted(cluster[perm_np],
-                        np.arange(num_parts + 1)).astype(np.int64)
-    ).astype(INDEX_DTYPE)
-    return out, partptr, jnp.asarray(perm_np.astype(np.int64), INDEX_DTYPE)
+    partptr_np = np.searchsorted(
+        cluster[perm_np], np.arange(num_parts + 1)
+    ).astype(np_index)
+    return (out, jnp.asarray(partptr_np),
+            jnp.asarray(perm_np.astype(np_index)))
 
 
 SparseTensor.partition = (

@@ -687,6 +687,14 @@ class SparseStorage:
     # data-dependent -> eager-only when duplicates exist.
     # ------------------------------------------------------------------
     def is_coalesced(self) -> bool:
+        hrow = self.numpy_view_cached("row")
+        hcol = self.numpy_view_cached("col")
+        if hrow is not None and hcol is not None:
+            if hrow.shape[0] < 2:
+                return True
+            return not bool(np.any(
+                (hrow[1:] == hrow[:-1]) & (hcol[1:] == hcol[:-1])
+            ))
         row, col = self.row(), self._col
         if row.shape[0] < 2:
             return True
