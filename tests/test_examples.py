@@ -50,3 +50,13 @@ def test_train_cluster_gcn():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "full-graph train accuracy" in r.stdout
+
+
+def test_train_gat():
+    r = _run(
+        "examples/train_gat.py", "--epochs", "3", "--nodes", "200",
+        "--edges", "1200", "--features", "16", "--hidden", "8",
+        "--classes", "3", "--heads", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "train accuracy" in r.stdout
