@@ -102,3 +102,47 @@ def test_remove_then_set_diag(A):
     expect = D.copy()
     np.fill_diagonal(expect, 1.0)
     np.testing.assert_allclose(np.asarray(B.to_dense()), expect, atol=1e-6)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 24), st.integers(0, 80))
+def test_host_and_device_construction_agree(seed, n, e):
+    # Numpy-input (host fast path) and jnp-input (device path)
+    # constructions must produce identical storages and derived views.
+    rng = np.random.RandomState(seed)
+    row = rng.randint(0, n, e)
+    col = rng.randint(0, n, e)
+    val = rng.randn(e).astype(np.float32)
+    Ah = ts.SparseTensor(row=row, col=col, value=jnp.asarray(val),
+                         sparse_sizes=(n, n))
+    Ad = ts.SparseTensor(row=jnp.asarray(row), col=jnp.asarray(col),
+                         value=jnp.asarray(val), sparse_sizes=(n, n))
+    for name in ("row", "col", "rowptr", "colptr", "csr2csc", "csc2csr"):
+        vh = np.asarray(getattr(Ah.storage, name)())
+        vd = np.asarray(getattr(Ad.storage, name)())
+        np.testing.assert_array_equal(vh, vd, err_msg=name)
+    np.testing.assert_allclose(np.asarray(Ah.storage.value()),
+                               np.asarray(Ad.storage.value()), atol=0)
+    # coalesce equivalence (host path vs device path)
+    Ch, Cd = Ah.coalesce("add"), Ad.coalesce("add")
+    np.testing.assert_array_equal(np.asarray(Ch.storage.row()),
+                                  np.asarray(Cd.storage.row()))
+    np.testing.assert_array_equal(np.asarray(Ch.storage.col()),
+                                  np.asarray(Cd.storage.col()))
+    np.testing.assert_allclose(np.asarray(Ch.storage.value()),
+                               np.asarray(Cd.storage.value()), atol=1e-6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_host_transpose_narrow_agree_with_dense(seed):
+    rng = np.random.RandomState(seed)
+    M, N, E = 15, 12, 60
+    A = ts.SparseTensor(row=rng.randint(0, M, E), col=rng.randint(0, N, E),
+                        value=jnp.asarray(rng.randn(E).astype(np.float32)),
+                        sparse_sizes=(M, N)).coalesce("add")
+    D = np.asarray(A.to_dense())
+    np.testing.assert_allclose(np.asarray(A.t().to_dense()), D.T, atol=1e-6)
+    blk = A.narrow(0, 3, 7).narrow(1, 2, 6)
+    np.testing.assert_allclose(np.asarray(blk.to_dense()), D[3:10, 2:8],
+                               atol=1e-6)
