@@ -18,6 +18,7 @@ from .ops import (  # noqa
     spmm_sum, spmm_add, spmm_mean, spmm_min, spmm_max, spspmm_sum, matmul,
     expansion_terms, spspmm_chunked, spspmm_native, spspmm_stream,
     spspmm_diag,
+    HybridFormat, build_hybrid_from_tensor, hybrid_spmm,
     t, transpose, coalesce, eye, spmm, spspmm, spadd,
     to_jax_sparse, from_jax_sparse, to_torch_sparse, from_torch_sparse,
     to_scipy, from_scipy,
@@ -51,6 +52,9 @@ __all__ = [
     "spspmm_native",
     "spspmm_stream",
     "spspmm_diag",
+    "HybridFormat",
+    "build_hybrid_from_tensor",
+    "hybrid_spmm",
     "matmul",
     "t",
     "transpose",

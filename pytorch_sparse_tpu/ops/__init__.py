@@ -17,6 +17,9 @@ from .spgemm import (  # noqa
     expansion_terms, spspmm_chunked, spspmm_native, spspmm_stream,
     spspmm_diag,
 )
+from .kernels.hybrid import (  # noqa
+    HybridFormat, build_hybrid_from_tensor, hybrid_spmm,
+)
 from .transpose import t, transpose  # noqa
 from .coalesce import coalesce  # noqa
 from .eye import eye  # noqa

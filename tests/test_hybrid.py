@@ -1,0 +1,72 @@
+"""Hybrid block-dense + ELL SpMM (ops/kernels/hybrid.py) vs the dense
+oracle: routing splits, sentinel padding, feature gradients, jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_sparse_tpu import (
+    SparseTensor, build_hybrid_from_tensor, hybrid_spmm, spmm_sum,
+)
+from pytorch_sparse_tpu.ops.kernels.hybrid import build_hybrid
+
+
+@pytest.mark.parametrize("B,min_density", [(32, 0.02), (64, 0.5), (16, 0.0)])
+def test_hybrid_matches_dense_oracle(B, min_density):
+    rng = np.random.RandomState(0)
+    for trial in range(3):
+        M = rng.randint(40, 300)
+        N = rng.randint(40, 300)
+        E = rng.randint(0, 3000)
+        row = rng.randint(0, M, E)
+        col = rng.randint(0, N, E)
+        val = rng.randn(E).astype(np.float32)
+        h = build_hybrid(row, col, val, M, N, B=B, min_density=min_density)
+        x = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+        out = np.asarray(jax.jit(hybrid_spmm)(h, x))
+        dense = np.zeros((M, N), np.float32)
+        np.add.at(dense, (row, col), val)
+        assert np.allclose(out, dense @ np.asarray(x), atol=1e-3)
+
+
+def test_hybrid_from_tensor_matches_ell():
+    rng = np.random.RandomState(1)
+    # community graph: most edges land in dense blocks
+    M, E, n_comm = 600, 30000, 8
+    comm = rng.randint(0, n_comm, M)
+    order = np.argsort(comm)
+    cp = np.searchsorted(comm[order], np.arange(n_comm + 1))
+    src = rng.randint(0, M, E)
+    intra = rng.rand(E) < 0.9
+    c = comm[src[intra]]
+    dst = rng.randint(0, M, E)
+    dst[intra] = order[
+        cp[c] + (rng.rand(int(intra.sum())) * (cp[c + 1] - cp[c]))
+        .astype(np.int64)
+    ]
+    A = SparseTensor(row=src, col=dst, sparse_sizes=(M, M)).coalesce("add")
+    A = A.set_value(jnp.asarray(rng.randn(A.nnz()).astype(np.float32)),
+                    layout="coo")
+    h = build_hybrid_from_tensor(A, B=128, min_density=0.01)
+    assert h.dense_nnz > 0  # communities must densify
+    x = jnp.asarray(rng.randn(M, 16).astype(np.float32))
+    out_h = hybrid_spmm(h, x, precision=jax.lax.Precision.HIGHEST)
+    out_e = spmm_sum(A, x)
+    assert np.allclose(np.asarray(out_h), np.asarray(out_e), atol=1e-3)
+
+
+def test_hybrid_feature_gradients():
+    rng = np.random.RandomState(2)
+    M, E = 90, 800
+    row, col = rng.randint(0, M, E), rng.randint(0, M, E)
+    val = rng.randn(E).astype(np.float32)
+    h = build_hybrid(row, col, val, M, M, B=32, min_density=0.01)
+    x0 = jnp.asarray(rng.randn(M, 4).astype(np.float32))
+    g = jax.grad(lambda x: (hybrid_spmm(h, x) ** 2).sum())(x0)
+    dense = np.zeros((M, M), np.float32)
+    np.add.at(dense, (row, col), val)
+    g_ref = jax.grad(
+        lambda x: ((jnp.asarray(dense) @ x) ** 2).sum()
+    )(x0)
+    assert np.allclose(np.asarray(g), np.asarray(g_ref), atol=1e-2)
