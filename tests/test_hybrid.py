@@ -70,3 +70,25 @@ def test_hybrid_feature_gradients():
         lambda x: ((jnp.asarray(dense) @ x) ** 2).sum()
     )(x0)
     assert np.allclose(np.asarray(g), np.asarray(g_ref), atol=1e-2)
+
+
+def test_gcn_trains_on_hybrid_adjacency():
+    from pytorch_sparse_tpu.models import GCN, gcn_norm
+
+    rng = np.random.RandomState(3)
+    M, E, F, C = 200, 2400, 16, 4
+    A = gcn_norm(SparseTensor(
+        row=rng.randint(0, M, E), col=rng.randint(0, M, E),
+        sparse_sizes=(M, M)).coalesce("add"))
+    h = build_hybrid_from_tensor(A, B=64, min_density=0.01)
+    x = jnp.asarray(rng.randn(M, F).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, C, M).astype(np.int32))
+    params = GCN.init(jax.random.PRNGKey(0), F, 8, C)
+    l0, g = jax.value_and_grad(GCN.loss)(params, h, x, y)
+    # one SGD step reduces the loss
+    params2 = jax.tree_util.tree_map(lambda p, gg: p - 0.5 * gg, params, g)
+    l1 = GCN.loss(params2, h, x, y)
+    assert float(l1) < float(l0)
+    # matches the SparseTensor path
+    ref = GCN.loss(params, A, x, y)
+    assert abs(float(l0) - float(ref)) < 1e-2
