@@ -175,9 +175,11 @@ def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
             precision=precision,
         )
 
+    # Sequential over slots: each step's (R, B, B) block gather is a
+    # ~GB-scale temp at large M — unrolling keeps W of them alive and
+    # OOMs; the loop reuses one.
     out = jax.lax.fori_loop(
         0, W, step, jnp.zeros((R, B, K), x.dtype),
-        unroll=True,
     )
     out = out.reshape(R * B, K)[:M]
 
