@@ -665,7 +665,11 @@ class SparseStorage:
             arr = getattr(self, name)()
             if not _is_concrete(arr):
                 return None
-            cache[name] = np.ascontiguousarray(np.asarray(arr), np.int64)
+            if name not in cache:
+                # (the getter may have host-built and seeded the view —
+                # only pull from the device when it really didn't)
+                cache[name] = np.ascontiguousarray(
+                    np.asarray(arr), np.int64)
         return cache[name]
 
     def numpy_view_cached(self, name: str) -> Optional[np.ndarray]:

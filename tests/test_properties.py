@@ -129,8 +129,11 @@ def test_host_and_device_construction_agree(seed, n, e):
                                   np.asarray(Cd.storage.row()))
     np.testing.assert_array_equal(np.asarray(Ch.storage.col()),
                                   np.asarray(Cd.storage.col()))
+    # host reduceat sums sequentially, XLA segment_sum pairwise — equal
+    # only to f32 rounding
     np.testing.assert_allclose(np.asarray(Ch.storage.value()),
-                               np.asarray(Cd.storage.value()), atol=1e-6)
+                               np.asarray(Cd.storage.value()),
+                               rtol=1e-5, atol=1e-5)
 
 
 @settings(max_examples=10, deadline=None)
