@@ -77,6 +77,7 @@ def build_hybrid(
     row: np.ndarray, col: np.ndarray, value: Optional[np.ndarray],
     M: int, N: int, B: int = 1024,
     min_density: Optional[float] = None, K_hint: int = 128,
+    block_dtype=None,
 ) -> HybridFormat:
     """Split edges into dense (B, B) blocks vs an ELL remainder.
 
@@ -140,8 +141,14 @@ def build_hybrid(
         ell = build_ell(rptr, col[rr], None, M)
         ell = (ell, jnp.asarray(val[rr]))
 
+    blocks_j = jnp.asarray(blocks)
+    if block_dtype is not None:
+        # bf16 halves the block store and its read traffic; the default
+        # TPU f32 dot already runs at bf16 precision, so accuracy is
+        # unchanged unless Precision.HIGHEST is requested.
+        blocks_j = blocks_j.astype(block_dtype)
     return HybridFormat(
-        jnp.asarray(blocks), jnp.asarray(btab.astype(np.int32)),
+        blocks_j, jnp.asarray(btab.astype(np.int32)),
         jnp.asarray(ctab.astype(np.int32)), ell, M, N, B, dense_nnz,
     )
 
@@ -191,7 +198,8 @@ def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
 
 def build_hybrid_from_tensor(A, B: int = 1024,
                              min_density: Optional[float] = None,
-                             K_hint: int = 128) -> HybridFormat:
+                             K_hint: int = 128,
+                             block_dtype=None) -> HybridFormat:
     """Build the hybrid view from a SparseTensor's host views.
 
     METIS-order the tensor first (``A.partition(k)``) so communities
@@ -203,5 +211,5 @@ def build_hybrid_from_tensor(A, B: int = 1024,
         A.storage.numpy_view("row"), A.storage.numpy_view("col"),
         None if value is None else np.asarray(value),
         A.sparse_size(0), A.sparse_size(1), B=B,
-        min_density=min_density, K_hint=K_hint,
+        min_density=min_density, K_hint=K_hint, block_dtype=block_dtype,
     )
