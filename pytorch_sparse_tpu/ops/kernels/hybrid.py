@@ -49,24 +49,32 @@ from .ell import EllFormat, build_ell, ell_spmm
 
 class HybridFormat:
     def __init__(self, blocks, btab, ctab, ell: Optional[EllFormat],
-                 M: int, N: int, B: int, dense_nnz: int):
+                 M: int, N: int, B: int, dense_nnz: int,
+                 row_map=None, M_pad: int = 0):
         self.blocks = blocks
         self.btab = btab
         self.ctab = ctab
         self.ell = ell
         self.M, self.N, self.B = M, N, B
         self.dense_nnz = dense_nnz
+        # Block-aligned layouts: node i lives at padded position
+        # row_map[i] (each partition starts on a block boundary); the
+        # internal matrices are (M_pad, M_pad) and hybrid_spmm
+        # scatters/gathers x/out through the map.
+        self.row_map = row_map
+        self.M_pad = M_pad
 
 
 def _hyb_flatten(h: HybridFormat):
-    return ((h.blocks, h.btab, h.ctab, h.ell),
-            (h.M, h.N, h.B, h.dense_nnz))
+    return ((h.blocks, h.btab, h.ctab, h.ell, h.row_map),
+            (h.M, h.N, h.B, h.dense_nnz, h.M_pad))
 
 
 def _hyb_unflatten(aux, children):
-    blocks, btab, ctab, ell = children
-    M, N, B, dense_nnz = aux
-    return HybridFormat(blocks, btab, ctab, ell, M, N, B, dense_nnz)
+    blocks, btab, ctab, ell, row_map = children
+    M, N, B, dense_nnz, M_pad = aux
+    return HybridFormat(blocks, btab, ctab, ell, M, N, B, dense_nnz,
+                        row_map, M_pad)
 
 
 jax.tree_util.register_pytree_node(HybridFormat, _hyb_flatten,
@@ -141,16 +149,37 @@ def build_hybrid(
         ell = build_ell(rptr, col[rr], None, M)
         ell = (ell, jnp.asarray(val[rr]))
 
-    blocks_j = jnp.asarray(blocks)
     if block_dtype is not None:
         # bf16 halves the block store and its read traffic; the default
         # TPU f32 dot already runs at bf16 precision, so accuracy is
-        # unchanged unless Precision.HIGHEST is requested.
-        blocks_j = blocks_j.astype(block_dtype)
+        # unchanged unless Precision.HIGHEST is requested.  Cast on the
+        # host (ml_dtypes) so only half the bytes cross to the device.
+        blocks = blocks.astype(np.dtype(block_dtype))
+    blocks_j = jnp.asarray(blocks)
     return HybridFormat(
         blocks_j, jnp.asarray(btab.astype(np.int32)),
         jnp.asarray(ctab.astype(np.int32)), ell, M, N, B, dense_nnz,
     )
+
+
+def _align_to_blocks(row, col, partptr, B):
+    """Renumber nodes so every partition starts on a block boundary.
+
+    Keeps the within-part order (so sortedness is preserved: the map is
+    strictly increasing) and pads each part to a multiple of B — dense
+    communities then fill whole blocks instead of straddling two,
+    roughly halving the dense-block count on METIS layouts.
+    Returns (row', col', M_pad, row_map)."""
+    pp = np.asarray(partptr, np.int64)
+    sizes = np.diff(pp)
+    padded = -(-sizes // B) * B
+    new_starts = np.concatenate([[0], np.cumsum(padded)])
+    M_pad = int(new_starts[-1])
+    # node -> padded position (vectorized over parts)
+    part_of = np.repeat(np.arange(sizes.size), sizes)
+    offset_in_part = np.arange(pp[-1]) - np.repeat(pp[:-1], sizes)
+    row_map = new_starts[part_of] + offset_in_part
+    return row_map[row], row_map[col], M_pad, row_map
 
 
 def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
@@ -162,6 +191,14 @@ def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
     propagation (relative error ~0.4% on deg-500 rows), pass
     ``jax.lax.Precision.HIGHEST`` for full fp32 accumulation.
     """
+    if h.row_map is not None:
+        # Block-aligned layout: scatter x into padded positions, run,
+        # gather back (row-granular ops, no per-edge scatters).
+        xp = jnp.zeros((h.M_pad, x.shape[1]), x.dtype).at[h.row_map].set(x)
+        inner = HybridFormat(h.blocks, h.btab, h.ctab, h.ell,
+                             h.M_pad, h.M_pad, h.B, h.dense_nnz)
+        return hybrid_spmm(inner, xp, precision)[h.row_map]
+
     B, M, N = h.B, h.M, h.N
     K = x.shape[1]
     C = -(-N // B)
@@ -199,17 +236,35 @@ def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
 def build_hybrid_from_tensor(A, B: int = 1024,
                              min_density: Optional[float] = None,
                              K_hint: int = 128,
-                             block_dtype=None) -> HybridFormat:
+                             block_dtype=None,
+                             partptr=None) -> HybridFormat:
     """Build the hybrid view from a SparseTensor's host views.
 
     METIS-order the tensor first (``A.partition(k)``) so communities
     land in dense blocks; on a Reddit-density community graph this puts
     ~80% of edges onto the MXU for a ~4x SpMM speedup (BASELINE.md).
+    Pass the ``partptr`` from ``partition()`` to block-align the
+    layout: each part then starts on a block boundary, so communities
+    fill whole blocks instead of straddling two (fewer, denser blocks;
+    ``hybrid_spmm`` maps x/out through the padding transparently).
     """
     value = A.storage.value()
-    return build_hybrid(
-        A.storage.numpy_view("row"), A.storage.numpy_view("col"),
-        None if value is None else np.asarray(value),
-        A.sparse_size(0), A.sparse_size(1), B=B,
-        min_density=min_density, K_hint=K_hint, block_dtype=block_dtype,
+    row = A.storage.numpy_view("row")
+    col = A.storage.numpy_view("col")
+    val = None if value is None else np.asarray(value)
+    if partptr is None:
+        return build_hybrid(
+            row, col, val, A.sparse_size(0), A.sparse_size(1), B=B,
+            min_density=min_density, K_hint=K_hint,
+            block_dtype=block_dtype,
+        )
+    assert A.sparse_size(0) == A.sparse_size(1), (
+        "block alignment assumes a square (symmetric-layout) matrix"
     )
+    row2, col2, M_pad, row_map = _align_to_blocks(row, col, partptr, B)
+    h = build_hybrid(row2, col2, val, M_pad, M_pad, B=B,
+                     min_density=min_density, K_hint=K_hint,
+                     block_dtype=block_dtype)
+    h.row_map = jnp.asarray(row_map.astype(np.int32))
+    h.M_pad = M_pad
+    return h

@@ -108,3 +108,41 @@ def test_hybrid_bf16_blocks():
     np.add.at(dense, (row, col), val)
     # bf16 block storage: ~0.5% relative error on deg-20 rows
     assert np.allclose(out, dense @ np.asarray(x), atol=0.5, rtol=0.05)
+
+
+def test_block_aligned_hybrid_matches_and_shrinks_blocks():
+    from pytorch_sparse_tpu.ops.kernels.hybrid import _align_to_blocks
+
+    rng = np.random.RandomState(5)
+    # communities of ~90 nodes, B=64: unaligned straddles two blocks
+    M, n_comm, E = 720, 8, 40000
+    comm = rng.randint(0, n_comm, M)
+    order = np.argsort(comm)
+    cp = np.searchsorted(comm[order], np.arange(n_comm + 1))
+    src = rng.randint(0, M, E)
+    intra = rng.rand(E) < 0.95
+    c = comm[src[intra]]
+    dst = rng.randint(0, M, E)
+    dst[intra] = order[
+        cp[c] + (rng.rand(int(intra.sum())) * (cp[c + 1] - cp[c]))
+        .astype(np.int64)
+    ]
+    A = SparseTensor(row=src, col=dst, sparse_sizes=(M, M)).coalesce("add")
+    A = A.set_value(jnp.asarray(rng.randn(A.nnz()).astype(np.float32)),
+                    layout="coo")
+    padj, partptr, _ = A.partition(n_comm)
+
+    h_plain = build_hybrid_from_tensor(padj, B=64, min_density=0.01)
+    h_align = build_hybrid_from_tensor(padj, B=64, min_density=0.01,
+                                       partptr=np.asarray(partptr))
+    x = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    out_p = hybrid_spmm(h_plain, x, precision=jax.lax.Precision.HIGHEST)
+    out_a = hybrid_spmm(h_align, x, precision=jax.lax.Precision.HIGHEST)
+    ref = spmm_sum(padj, x)
+    assert np.allclose(np.asarray(out_p), np.asarray(ref), atol=1e-3)
+    assert np.allclose(np.asarray(out_a), np.asarray(ref), atol=1e-3)
+    # alignment should not increase the dense block count
+    assert h_align.blocks.shape[0] <= h_plain.blocks.shape[0]
+    # row_map is a strictly increasing injection
+    rm = np.asarray(h_align.row_map)
+    assert (np.diff(rm) > 0).all()
