@@ -66,9 +66,12 @@ class GCN:
 
     @staticmethod
     def apply(
-        params: Dict, adj: SparseTensor, x: jnp.ndarray,
+        params: Dict, adj, x: jnp.ndarray,
         dropout_rate: float = 0.0, dropout_key=None,
     ) -> jnp.ndarray:
+        """``adj``: a SparseTensor, or a HybridFormat (block-dense MXU
+        aggregation; note adjacency-VALUE gradients do not flow through
+        prebuilt hybrid blocks — feature gradients do)."""
         from ..ops.kernels.hybrid import HybridFormat, hybrid_spmm
 
         n = len(params["layers"])

@@ -12,8 +12,10 @@ blocks; storing those blocks DENSE converts their SpMM into batched
 
 Break-even per block: densifying pays when ``E_blk * (K*4 + 12)`` (the
 gather traffic) exceeds ``B*B*4`` (the block read), i.e. density above
-~``B / (K+3) / B²`` ≈ 0.8% at B=1024, K=128.  Everything below the
-threshold stays in the scatter-free ELL path.
+``1 / (K + 3)`` ≈ 0.76% at K=128 (independent of B).  Everything below
+the threshold stays in the scatter-free ELL path — though note the
+measured ELL path runs well below its roofline at large M, so a lower
+threshold often wins in practice.
 
 Format (a registered pytree, built eagerly host-side like the ELL
 views):
@@ -24,7 +26,9 @@ views):
   (sentinel nb).
 * ``ctab``    (R, W) int32  per row-block: col-block index per term
   (sentinel points at a zero X block appended at position C).
-* ``ell``     EllFormat | None — the remainder (sub-threshold) edges.
+* ``ell``     (EllFormat, values) | None — the remainder
+  (sub-threshold) edges and their edge values, consumed as
+  ``ell, vals = h.ell``.
 
 Forward: ``out_blocks[r] = Σ_w blocks[btab[r, w]] @ Xb[ctab[r, w]]`` —
 a ``lax`` loop of gathers with multi-MB granules plus batched matmuls —
@@ -48,7 +52,8 @@ from .ell import EllFormat, build_ell, ell_spmm
 
 
 class HybridFormat:
-    def __init__(self, blocks, btab, ctab, ell: Optional[EllFormat],
+    def __init__(self, blocks, btab, ctab,
+                 ell: Optional[Tuple[EllFormat, Any]],
                  M: int, N: int, B: int, dense_nnz: int,
                  row_map=None, M_pad: int = 0):
         self.blocks = blocks
@@ -100,44 +105,55 @@ def build_hybrid(
     else:
         val = np.asarray(value, np.float32)
     if min_density is None:
-        # gather bytes per nnz vs one extra block read amortized
-        min_density = (B * 4.0) / (K_hint * 4 + 12) / B
+        # gather bytes per nnz vs one extra block read amortized:
+        # 1 / (K + 3), independent of B
+        min_density = 4.0 / (K_hint * 4 + 12)
 
     R = -(-M // B)
     C = -(-N // B)
     rb = row // B
     cb = col // B
     bkey = rb * C + cb
-    counts = np.bincount(bkey, minlength=R * C)
-    dense_mask_flat = counts >= max(int(min_density * B * B), 1)
-    dense_sel = dense_mask_flat[bkey]
+    # Work over OCCUPIED block keys only — dense O(R*C) scratch would be
+    # multi-GB at M~10M, B~512.
+    occ_keys, inv_key, occ_counts = (
+        np.unique(bkey, return_inverse=True, return_counts=True)
+        if bkey.size
+        else (np.zeros(0, np.int64), np.zeros(0, np.int64),
+              np.zeros(0, np.int64))
+    )
+    thresh = max(int(min_density * B * B), 1)
+    occ_is_dense = occ_counts >= thresh
+    dense_sel = occ_is_dense[inv_key] if bkey.size else np.zeros(0, bool)
 
     # --- dense part
     dsel = np.flatnonzero(dense_sel)
     dense_nnz = dsel.size
-    dense_keys = np.flatnonzero(dense_mask_flat)
+    dense_keys = occ_keys[occ_is_dense]  # sorted (np.unique output)
     nb = dense_keys.size
-    slot_of = np.full(R * C, nb, np.int64)  # sentinel -> zero block
-    slot_of[dense_keys] = np.arange(nb)
+    # occupied-key index -> dense slot (sentinel nb for sparse keys)
+    occ_slot = np.full(occ_keys.size, nb, np.int64)
+    occ_slot[occ_is_dense] = np.arange(nb)
     blocks = np.zeros((nb + 1, B, B), np.float32)
     if dense_nnz:
         np.add.at(
             blocks,
-            (slot_of[bkey[dsel]], row[dsel] % B, col[dsel] % B),
+            (occ_slot[inv_key[dsel]], row[dsel] % B, col[dsel] % B),
             val[dsel],
         )
-    # per row-block slot tables
-    W = 1
-    per_r: List[np.ndarray] = []
-    for r in range(R):
-        ks = dense_keys[(dense_keys // C) == r]
-        per_r.append(ks)
-        W = max(W, ks.size)
+    # per row-block slot tables: dense_keys is sorted, so one
+    # searchsorted split gives each row block's run.
+    row_of_key = dense_keys // C
+    starts = np.searchsorted(row_of_key, np.arange(R + 1))
+    key_counts = np.diff(starts)
+    W = max(int(key_counts.max()) if R else 1, 1)
     btab = np.full((R, W), nb, np.int64)
     ctab = np.full((R, W), C, np.int64)  # sentinel -> zero X block
-    for r, ks in enumerate(per_r):
-        btab[r, : ks.size] = slot_of[ks]
-        ctab[r, : ks.size] = ks % C
+    if nb:
+        rix = np.repeat(np.arange(R), key_counts)
+        off = np.arange(nb) - np.repeat(starts[:-1], key_counts)
+        btab[rix, off] = np.arange(nb)
+        ctab[rix, off] = dense_keys % C
 
     # --- ELL remainder
     rest = np.flatnonzero(~dense_sel)
@@ -210,12 +226,16 @@ def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
     xb = jnp.concatenate([xb, jnp.zeros((1, B, K), x.dtype)])
 
     R, W = h.btab.shape
+    # Half-precision inputs accumulate through f32 internally — the
+    # library-wide SpMM contract (ell_spmm does the same); output keeps
+    # x.dtype.
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
 
     def step(w, acc):
         ab = jnp.take(h.blocks, h.btab[:, w], axis=0)   # (R, B, B)
         vb = jnp.take(xb, h.ctab[:, w], axis=0)         # (R, B, K)
         return acc + jnp.einsum(
-            "rbc,rck->rbk", ab.astype(x.dtype), vb,
+            "rbc,rck->rbk", ab.astype(acc_dtype), vb.astype(acc_dtype),
             precision=precision,
         )
 
@@ -223,9 +243,9 @@ def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
     # ~GB-scale temp at large M — unrolling keeps W of them alive and
     # OOMs; the loop reuses one.
     out = jax.lax.fori_loop(
-        0, W, step, jnp.zeros((R, B, K), x.dtype),
+        0, W, step, jnp.zeros((R, B, K), acc_dtype),
     )
-    out = out.reshape(R * B, K)[:M]
+    out = out.reshape(R * B, K)[:M].astype(x.dtype)
 
     if h.ell is not None:
         ell, vals = h.ell
