@@ -146,7 +146,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--M", type=int, default=169_343)      # ogbn-arxiv nodes
     p.add_argument("--E", type=int, default=1_166_243)    # ogbn-arxiv edges
-    p.add_argument("--K", type=int, nargs="+", default=[32, 128, 512])
+    # Reference protocol sweeps widths 1..512 (benchmark/main.py:162-164).
+    p.add_argument("--K", type=int, nargs="+",
+                   default=[1, 16, 32, 64, 128, 256, 512])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--variants", nargs="+", default=list(VARIANTS))
     p.add_argument("--backward", action="store_true",

@@ -75,9 +75,10 @@ def _choose_caps(deg: np.ndarray, max_buckets: int = None):
         uniq = np.asarray(q_uniq)
         counts = np.asarray(q_counts)
         keep = np.concatenate([uniq[:-1] != uniq[1:], [True]])
-        # merge duplicated caps produced by the linspace
+        # merge duplicated caps produced by the linspace; group id of
+        # element i = number of kept (run-ending) elements before i
         agg = np.zeros(keep.sum(), dtype=np.int64)
-        np.add.at(agg, np.cumsum(keep) - 1, counts)
+        np.add.at(agg, np.cumsum(keep) - keep, counts)
         uniq, counts = uniq[keep], agg
     U = uniq.size
     B = min(max_buckets, U)

@@ -20,6 +20,28 @@ _FIELDS = (
 )
 
 
+def _pack(arr: np.ndarray, payload: dict, key: str) -> None:
+    """Store ``arr`` under ``key``; ml_dtypes values (bfloat16, float8…)
+    have numpy kind 'V' which ``np.savez`` round-trips as raw void bytes
+    that ``jnp.asarray`` then rejects — store them as unsigned words plus
+    a ``<key>.dtype`` record instead."""
+    a = np.asarray(arr)
+    if a.dtype.kind == "V":
+        payload[f"{key}.dtype"] = np.str_(a.dtype.name)
+        a = a.view(np.dtype(f"u{a.dtype.itemsize}"))
+    payload[key] = a
+
+
+def _unpack(data: dict, key: str) -> np.ndarray:
+    a = data[key]
+    dt = data.get(f"{key}.dtype")
+    if dt is not None:
+        import ml_dtypes  # noqa: F401  (registers the dtype names)
+
+        a = a.view(np.dtype(str(dt)))
+    return a
+
+
 def save_npz(path: str, src) -> None:
     """Save ``src`` (arrays + filled caches, including ELL views)."""
     st = src.storage
@@ -27,7 +49,7 @@ def save_npz(path: str, src) -> None:
     for f in _FIELDS:
         v = getattr(st, f)
         if v is not None:
-            payload[f] = np.asarray(v)
+            _pack(v, payload, f)
     for name in ("_ell", "_ell_t"):
         ell = getattr(st, name)
         if ell is None:
@@ -54,7 +76,7 @@ def load_npz(path: str):
         data = {k: z[k] for k in z.files}
 
     def get(f) -> Optional[jnp.ndarray]:
-        return jnp.asarray(data[f]) if f in data else None
+        return jnp.asarray(_unpack(data, f)) if f in data else None
 
     M, N = (int(x) for x in data["sparse_sizes"])
     storage = SparseStorage(

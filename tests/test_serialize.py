@@ -40,6 +40,28 @@ def test_npz_roundtrip(tmp_path):
     )
 
 
+def test_npz_roundtrip_bfloat16(tmp_path):
+    """ml_dtypes values (numpy kind 'V') survive the npz round-trip;
+    np.savez alone would store them as raw '|V2' void bytes."""
+    rng = np.random.RandomState(2)
+    M, E = 20, 60
+    A = ts.SparseTensor(
+        row=jnp.asarray(rng.randint(0, M, E)),
+        col=jnp.asarray(rng.randint(0, M, E)),
+        value=jnp.asarray(rng.randn(E).astype(np.float32)),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+    A = A.set_value(A.storage.value().astype(jnp.bfloat16), layout="coo")
+    path = str(tmp_path / "bf16.npz")
+    ts.save_npz(path, A)
+    B = ts.load_npz(path)
+    assert B.storage.value().dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(A.storage.value().astype(jnp.float32)),
+        np.asarray(B.storage.value().astype(jnp.float32)),
+    )
+
+
 def test_npz_roundtrip_no_value_no_cache(tmp_path):
     rng = np.random.RandomState(1)
     A = ts.SparseTensor(
