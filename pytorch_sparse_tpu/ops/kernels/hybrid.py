@@ -26,18 +26,28 @@ views):
   (sentinel nb).
 * ``ctab``    (R, W) int32  per row-block: col-block index per term
   (sentinel points at a zero X block appended at position C).
-* ``ell``     (EllFormat, values) | None — the remainder
-  (sub-threshold) edges and their edge values, consumed as
-  ``ell, vals = h.ell``.
+* ``btab_t``/``ctab_t``  (C, Wt) int32  the same terms grouped by
+  COL-block (``ctab_t`` holds the row-block index; sentinel R) — the
+  transpose tables backing ``hybrid_spmm_t`` (grad_mat = A^T @ grad,
+  reference ``csrc/spmm.cpp:100-108``).
+* ``ell``     (EllFormat, baked_vals) | None — the remainder
+  (sub-threshold) edges; ``ell_t`` is the remainder's transpose view.
+* ``rest_ids``  (E_rest,) int32 — original edge id of each remainder
+  edge (in the remainder's row-sorted order), so a live ``value``
+  vector can drive the remainder instead of the baked values.
 
 Forward: ``out_blocks[r] = Σ_w blocks[btab[r, w]] @ Xb[ctab[r, w]]`` —
 a ``lax`` loop of gathers with multi-MB granules plus batched matmuls —
-then ``+ ell_spmm(remainder)``.  All static shapes; JAX AD provides the
-feature gradient (transposed block matmuls + block-granular adds — no
-per-edge scatters).  Value gradients intentionally do not flow through
-the prebuilt blocks (build them inside the traced graph if needed);
-the intended use is GCN-style propagation where adjacency values are
-precomputed constants.
+then ``+ ell_spmm(remainder)``.  All static shapes.
+
+Gradients: the dense blocks bake the build-time values, so the
+differentiable wrapper (``ops/matmul.py:_hybrid_spmm_sum``) requires the
+``value`` argument to equal the values the format was built from (the
+``SparseStorage`` cache guarantees this: ``set_value`` invalidates the
+hybrid view).  At that point ``grad_mat = A^T @ grad`` runs through the
+transpose tables on the MXU, and ``grad_value[e] = <mat[col_e],
+grad[row_e]>`` is exact for every edge independent of the baked blocks
+(the output is linear in value).
 """
 
 from __future__ import annotations
@@ -55,7 +65,8 @@ class HybridFormat:
     def __init__(self, blocks, btab, ctab,
                  ell: Optional[Tuple[EllFormat, Any]],
                  M: int, N: int, B: int, dense_nnz: int,
-                 row_map=None, M_pad: int = 0):
+                 row_map=None, M_pad: int = 0,
+                 btab_t=None, ctab_t=None, ell_t=None, rest_ids=None):
         self.blocks = blocks
         self.btab = btab
         self.ctab = ctab
@@ -68,22 +79,55 @@ class HybridFormat:
         # scatters/gathers x/out through the map.
         self.row_map = row_map
         self.M_pad = M_pad
+        self.btab_t = btab_t
+        self.ctab_t = ctab_t
+        self.ell_t = ell_t
+        self.rest_ids = rest_ids
+
+    def __repr__(self) -> str:
+        nb = int(self.blocks.shape[0]) - 1
+        return (
+            f"HybridFormat(M={self.M}, N={self.N}, B={self.B}, "
+            f"blocks={nb}, dense_nnz={self.dense_nnz})"
+        )
 
 
 def _hyb_flatten(h: HybridFormat):
-    return ((h.blocks, h.btab, h.ctab, h.ell, h.row_map),
+    return ((h.blocks, h.btab, h.ctab, h.ell, h.row_map, h.btab_t,
+             h.ctab_t, h.ell_t, h.rest_ids),
             (h.M, h.N, h.B, h.dense_nnz, h.M_pad))
 
 
 def _hyb_unflatten(aux, children):
-    blocks, btab, ctab, ell, row_map = children
+    (blocks, btab, ctab, ell, row_map, btab_t, ctab_t, ell_t,
+     rest_ids) = children
     M, N, B, dense_nnz, M_pad = aux
     return HybridFormat(blocks, btab, ctab, ell, M, N, B, dense_nnz,
-                        row_map, M_pad)
+                        row_map, M_pad, btab_t, ctab_t, ell_t, rest_ids)
 
 
 jax.tree_util.register_pytree_node(HybridFormat, _hyb_flatten,
                                    _hyb_unflatten)
+
+
+def dense_fraction(row: np.ndarray, col: np.ndarray, M: int, N: int,
+                   B: int = 512, min_density: Optional[float] = None,
+                   K_hint: int = 128) -> Tuple[float, int]:
+    """Stats pass of the hybrid build: fraction of edges that would land
+    in ≥break-even-density (B, B) blocks, and the dense block count.
+    Backs the auto-routing decision in ``SparseStorage.hybrid()``."""
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    if row.size == 0:
+        return 0.0, 0
+    if min_density is None:
+        min_density = 4.0 / (K_hint * 4 + 12)
+    C = -(-N // B)
+    bkey = (row // B) * C + col // B
+    _, counts = np.unique(bkey, return_counts=True)
+    thresh = max(int(min_density * B * B), 1)
+    dense = counts[counts >= thresh]
+    return float(dense.sum()) / row.size, int(dense.size)
 
 
 def build_hybrid(
@@ -103,7 +147,12 @@ def build_hybrid(
     if value is None:
         val = np.ones(E, np.float32)
     else:
-        val = np.asarray(value, np.float32)
+        # Keep the caller's value dtype: the ELL remainder stores values
+        # verbatim, and the dense blocks accumulate/store at f64 when
+        # the values are f64 (else f32; ``block_dtype`` overrides).
+        val = np.asarray(value)
+        if val.dtype.kind not in "fV":  # int/bool values -> f32 layout
+            val = val.astype(np.float32)
     if min_density is None:
         # gather bytes per nnz vs one extra block read amortized:
         # 1 / (K + 3), independent of B
@@ -134,16 +183,18 @@ def build_hybrid(
     # occupied-key index -> dense slot (sentinel nb for sparse keys)
     occ_slot = np.full(occ_keys.size, nb, np.int64)
     occ_slot[occ_is_dense] = np.arange(nb)
-    blocks = np.zeros((nb + 1, B, B), np.float32)
+    blk_dt = np.float64 if val.dtype == np.float64 else np.float32
+    blocks = np.zeros((nb + 1, B, B), blk_dt)
     if dense_nnz:
         np.add.at(
             blocks,
             (occ_slot[inv_key[dsel]], row[dsel] % B, col[dsel] % B),
-            val[dsel],
+            val[dsel].astype(blk_dt),
         )
     # per row-block slot tables: dense_keys is sorted, so one
     # searchsorted split gives each row block's run.
     row_of_key = dense_keys // C
+    col_of_key = dense_keys % C
     starts = np.searchsorted(row_of_key, np.arange(R + 1))
     key_counts = np.diff(starts)
     W = max(int(key_counts.max()) if R else 1, 1)
@@ -153,17 +204,41 @@ def build_hybrid(
         rix = np.repeat(np.arange(R), key_counts)
         off = np.arange(nb) - np.repeat(starts[:-1], key_counts)
         btab[rix, off] = np.arange(nb)
-        ctab[rix, off] = dense_keys % C
+        ctab[rix, off] = col_of_key
 
-    # --- ELL remainder
+    # Transpose tables: the same (slot, row-block) terms grouped by
+    # col-block, backing grad_mat = A^T @ grad.
+    order_t = np.argsort(col_of_key, kind="stable")
+    starts_t = np.searchsorted(col_of_key[order_t], np.arange(C + 1))
+    key_counts_t = np.diff(starts_t)
+    Wt = max(int(key_counts_t.max()) if C else 1, 1)
+    btab_t = np.full((C, Wt), nb, np.int64)
+    ctab_t = np.full((C, Wt), R, np.int64)  # sentinel -> zero grad block
+    if nb:
+        cix = np.repeat(np.arange(C), key_counts_t)
+        off_t = np.arange(nb) - np.repeat(starts_t[:-1], key_counts_t)
+        btab_t[cix, off_t] = order_t
+        ctab_t[cix, off_t] = row_of_key[order_t]
+
+    # --- ELL remainder (forward + transpose views; edge ids are
+    # positions in the remainder's row-sorted order, rest_ids maps them
+    # back to original edge ids).
     rest = np.flatnonzero(~dense_sel)
     ell = None
+    ell_t = None
+    rest_ids = None
     if rest.size:
         order = np.argsort(row[rest], kind="stable")
         rr = rest[order]
-        rptr = np.searchsorted(row[rr], np.arange(M + 1))
-        ell = build_ell(rptr, col[rr], None, M)
+        rows_r, cols_r = row[rr], col[rr]
+        rptr = np.searchsorted(rows_r, np.arange(M + 1))
+        ell = build_ell(rptr, cols_r, None, M)
         ell = (ell, jnp.asarray(val[rr]))
+        csc_perm = np.lexsort((rows_r, cols_r))
+        cptr = np.searchsorted(cols_r[csc_perm], np.arange(N + 1))
+        ell_t = build_ell(cptr, rows_r[csc_perm], csc_perm, N)
+        rest_ids = jnp.asarray(rr.astype(np.int32 if E < 2**31
+                                         else np.int64))
 
     if block_dtype is not None:
         # bf16 halves the block store and its read traffic; the default
@@ -175,6 +250,9 @@ def build_hybrid(
     return HybridFormat(
         blocks_j, jnp.asarray(btab.astype(np.int32)),
         jnp.asarray(ctab.astype(np.int32)), ell, M, N, B, dense_nnz,
+        btab_t=jnp.asarray(btab_t.astype(np.int32)),
+        ctab_t=jnp.asarray(ctab_t.astype(np.int32)),
+        ell_t=ell_t, rest_ids=rest_ids,
     )
 
 
@@ -198,22 +276,42 @@ def _align_to_blocks(row, col, partptr, B):
     return row_map[row], row_map[col], M_pad, row_map
 
 
+def _rest_vals(h: HybridFormat, value):
+    """Remainder edge values: live ``value`` slice if given, else the
+    values baked at build time."""
+    ell, baked = h.ell
+    if value is None:
+        return ell, baked
+    return ell, jnp.take(value, h.rest_ids, axis=0)
+
+
+def _inner(h: HybridFormat) -> HybridFormat:
+    """The padded-space view of a block-aligned format."""
+    return HybridFormat(
+        h.blocks, h.btab, h.ctab, h.ell, h.M_pad, h.M_pad, h.B,
+        h.dense_nnz, btab_t=h.btab_t, ctab_t=h.ctab_t, ell_t=h.ell_t,
+        rest_ids=h.rest_ids,
+    )
+
+
 def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
-                precision=None) -> jnp.ndarray:
+                precision=None, value=None) -> jnp.ndarray:
     """``out = A @ x`` through the hybrid format; (N, K) -> (M, K).
 
     ``precision``: a ``jax.lax.Precision`` for the block matmuls.  This
     XLA build runs f32 dots at bf16 precision by default — fine for GNN
     propagation (relative error ~0.4% on deg-500 rows), pass
     ``jax.lax.Precision.HIGHEST`` for full fp32 accumulation.
+
+    ``value``: optional live edge-value vector driving the ELL
+    remainder; MUST equal the build-time values (the dense blocks bake
+    them) — the storage cache layer guarantees this.
     """
     if h.row_map is not None:
         # Block-aligned layout: scatter x into padded positions, run,
         # gather back (row-granular ops, no per-edge scatters).
         xp = jnp.zeros((h.M_pad, x.shape[1]), x.dtype).at[h.row_map].set(x)
-        inner = HybridFormat(h.blocks, h.btab, h.ctab, h.ell,
-                             h.M_pad, h.M_pad, h.B, h.dense_nnz)
-        return hybrid_spmm(inner, xp, precision)[h.row_map]
+        return hybrid_spmm(_inner(h), xp, precision, value)[h.row_map]
 
     B, M, N = h.B, h.M, h.N
     K = x.shape[1]
@@ -248,8 +346,51 @@ def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
     out = out.reshape(R * B, K)[:M].astype(x.dtype)
 
     if h.ell is not None:
-        ell, vals = h.ell
+        ell, vals = _rest_vals(h, value)
         out = out + ell_spmm(ell, vals, x)
+    return out
+
+
+def hybrid_spmm_t(h: HybridFormat, g: jnp.ndarray,
+                  precision=None, value=None) -> jnp.ndarray:
+    """``out = A^T @ g`` through the transpose tables; (M, K) -> (N, K).
+
+    Backs ``grad_mat`` of the differentiable hybrid SpMM (reference
+    obtains the same transpose via the cached csr2csc permutation,
+    ``csrc/spmm.cpp:100-108``)."""
+    if h.row_map is not None:
+        gp = jnp.zeros((h.M_pad, g.shape[1]), g.dtype).at[h.row_map].set(g)
+        return hybrid_spmm_t(_inner(h), gp, precision, value)[h.row_map]
+
+    B, M, N = h.B, h.M, h.N
+    K = g.shape[1]
+    R = -(-M // B)
+    pad = R * B - M
+    gb = jnp.concatenate(
+        [g, jnp.zeros((pad, K), g.dtype)]) if pad else g
+    gb = gb.reshape(R, B, K)
+    gb = jnp.concatenate([gb, jnp.zeros((1, B, K), g.dtype)])
+
+    C, Wt = h.btab_t.shape
+    acc_dtype = jnp.promote_types(g.dtype, jnp.float32)
+
+    def step(w, acc):
+        ab = jnp.take(h.blocks, h.btab_t[:, w], axis=0)  # (C, B, B)
+        vb = jnp.take(gb, h.ctab_t[:, w], axis=0)        # (C, B, K)
+        # blocks[slot]^T @ grad_rowblock: contract the BLOCK-ROW dim.
+        return acc + jnp.einsum(
+            "rbc,rbk->rck", ab.astype(acc_dtype), vb.astype(acc_dtype),
+            precision=precision,
+        )
+
+    out = jax.lax.fori_loop(
+        0, Wt, step, jnp.zeros((C, B, K), acc_dtype),
+    )
+    out = out.reshape(C * B, K)[:N].astype(g.dtype)
+
+    if h.ell_t is not None:
+        _, vals = _rest_vals(h, value)
+        out = out + ell_spmm(h.ell_t, vals, g)
     return out
 
 

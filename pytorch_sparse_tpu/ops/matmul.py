@@ -39,12 +39,25 @@ from ..tensor import SparseTensor
 from .kernels.ell import (
     ell_edge_dot, ell_minmax_bwd, ell_spmm, ell_spmm_minmax,
 )
+from .kernels.hybrid import hybrid_spmm, hybrid_spmm_t
 from .segment import segment_count, segment_mean, segment_min, segment_max, segment_sum
 
 
 def _int_zero(x):
     """Symbolic-zero cotangent for integer primal inputs."""
     return np.zeros(x.shape, dtype=dtypes.float0)
+
+
+def _zero_cotangent(tree):
+    """Zero cotangent for a mixed int/float pytree (format structures):
+    float0 for integer leaves, broadcast zeros for float leaves (XLA
+    folds the broadcast; the cotangent is DCE'd unless requested)."""
+    def z(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer):
+            return _int_zero(x)
+        return jnp.zeros_like(x)
+
+    return jax.tree_util.tree_map(z, tree)
 
 
 # ----------------------------------------------------------------------
@@ -258,6 +271,51 @@ def _ell_spmm_min_bwd(is_min, res, grads):
 _ell_spmm_min.defvjp(_ell_spmm_min_fwd, _ell_spmm_min_bwd)
 
 
+# ----------------------------------------------------------------------
+# Hybrid block-dense + ELL fast path (ops/kernels/hybrid.py): dense
+# blocks run as batched MXU matmuls, the remainder through ELL.  The
+# custom VJP keeps the reference gradient contract (csrc/spmm.cpp:
+# 88-112): grad_value[e] = <mat[col_e], grad[row_e]> (exact for every
+# edge — the output is linear in value, so the baked blocks don't
+# enter), grad_mat = A^T @ grad via the transpose block tables.
+# ----------------------------------------------------------------------
+
+@jax.custom_vjp
+def _hybrid_spmm_sum(h, row, col, value, mat):
+    return hybrid_spmm(h, mat, value=value)
+
+
+def _hybrid_spmm_sum_fwd(h, row, col, value, mat):
+    return hybrid_spmm(h, mat, value=value), (h, row, col, value, mat)
+
+
+def _hybrid_spmm_sum_bwd(res, grad):
+    h, row, col, value, mat = res
+    grad_value = None
+    if value is not None:
+        grad_value = jnp.sum(
+            jnp.take(mat, col, axis=0) * jnp.take(grad, row, axis=0),
+            axis=-1,
+        ).astype(value.dtype)
+    grad_mat = hybrid_spmm_t(h, grad, value=value).astype(mat.dtype)
+    return (
+        _zero_cotangent(h), _int_zero(row), _int_zero(col),
+        grad_value, grad_mat,
+    )
+
+
+_hybrid_spmm_sum.defvjp(_hybrid_spmm_sum_fwd, _hybrid_spmm_sum_bwd)
+
+
+def _hybrid_view(src: SparseTensor, other):
+    """The cached/auto-built hybrid view when it can serve this call."""
+    if other.ndim != 2:
+        return None  # batched operands stay on the ELL path
+    if not jnp.issubdtype(other.dtype, jnp.floating):
+        return None
+    return src.storage.hybrid()
+
+
 def _ell_views(src: SparseTensor):
     """Both ELL views if available (cached, or buildable eagerly)."""
     st = src.storage
@@ -277,6 +335,9 @@ def _ell_views(src: SparseTensor):
 def spmm_sum(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
     row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
     M = src.sparse_size(0)
+    hyb = _hybrid_view(src, other)
+    if hyb is not None:
+        return _hybrid_spmm_sum(hyb, row, col, value, other)
     views = _ell_views(src)
     if views is not None:
         ellA, ellAT = views
@@ -297,6 +358,13 @@ def spmm_add(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
 def spmm_mean(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
     row, col, value = src.storage.row(), src.storage.col(), src.storage.value()
     M = src.sparse_size(0)
+    hyb = _hybrid_view(src, other)
+    if hyb is not None:
+        # mean = sum / max(deg, 1); AD folds 1/deg into both gradients,
+        # matching csrc/spmm.cpp:166-177.
+        deg = jnp.maximum(src.storage.rowcount(), 1).astype(other.dtype)
+        out = _hybrid_spmm_sum(hyb, row, col, value, other)
+        return out / deg[:, None]
     views = _ell_views(src)
     if views is not None:
         # mean = sum / max(deg, 1); JAX AD folds the 1/deg into both

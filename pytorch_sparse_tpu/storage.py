@@ -106,6 +106,10 @@ class SparseStorage:
     # Degree-bucketed ELLPACK views (TPU SpMM fast path; ops/kernels/ell.py).
     _ell: Optional[Any]
     _ell_t: Optional[Any]
+    # Hybrid block-dense + ELL view (MXU fast path on community graphs;
+    # ops/kernels/hybrid.py).  Value-DEPENDENT (blocks bake the values):
+    # set_value invalidates it, unlike the edge-id-based ELL views.
+    _hybrid: Optional[Any]
 
     def __init__(
         self,
@@ -281,6 +285,7 @@ class SparseStorage:
         self._csc2csr = csc2csr
         self._ell = None
         self._ell_t = None
+        self._hybrid = None
 
         # Seed the host-copy cache (numpy_view) with arrays that never
         # left the host, so host-side algorithms (samplers, SpGEMM,
@@ -648,6 +653,66 @@ class SparseStorage:
         return self._ell_t
 
     # ------------------------------------------------------------------
+    # Hybrid block-dense + ELL view (ops/kernels/hybrid.py).  Auto-built
+    # on first (eager) request when the measured block-density stats
+    # predict an MXU win — community graphs at Reddit-like densities see
+    # 4-5x over the gather path (BASELINE.md); uniform/sparse graphs set
+    # a skip marker and stay on the ELL path.
+    # ------------------------------------------------------------------
+    _HYBRID_B = 512               # stats/auto-build block size
+    _HYBRID_MIN_EDGES = 200_000   # below this the ELL path is sub-ms
+    _HYBRID_MIN_FRACTION = 0.30   # dense-edge share for a >=1.4x model win
+    _HYBRID_MAX_BLOCK_BYTES = 4 << 30
+
+    def has_hybrid(self) -> bool:
+        return self._hybrid is not None
+
+    def set_hybrid_(self, h) -> "SparseStorage":
+        """Install a pre-built :class:`HybridFormat` (e.g. one built
+        block-aligned with a ``partptr`` after ``partition()``)."""
+        self._hybrid = h
+        self._hybrid_skip = False
+        return self
+
+    def hybrid(self, auto: bool = True):
+        """Cached hybrid view; ``auto`` builds it eagerly when the
+        density stats say the MXU path wins.  Returns None under
+        tracing (unless already filled — it rides the pytree) and on
+        graphs where the format would not pay."""
+        if self._hybrid is not None:
+            return self._hybrid
+        if not auto or getattr(self, "_hybrid_skip", False):
+            return None
+        value = self._value
+        if value is not None:
+            if not _is_concrete(value):
+                return None  # traced values can't be baked into blocks
+            if not jnp.issubdtype(value.dtype, jnp.floating):
+                # int/bool values follow the exact ELL path
+                self._hybrid_skip = True
+                return None
+        M, N = self._sparse_sizes
+        B = self._HYBRID_B
+        if (self._col.shape[0] < self._HYBRID_MIN_EDGES
+                or min(M, N) < 4 * B):
+            self._hybrid_skip = True
+            return None
+        row = self.numpy_view("row")
+        col = self.numpy_view("col")
+        if row is None or col is None:
+            return None  # tracing: decide on a later eager call
+        from .ops.kernels.hybrid import build_hybrid, dense_fraction
+
+        frac, nb = dense_fraction(row, col, M, N, B=B)
+        if (frac < self._HYBRID_MIN_FRACTION
+                or (nb + 1) * B * B * 4 > self._HYBRID_MAX_BLOCK_BYTES):
+            self._hybrid_skip = True
+            return None
+        val = None if value is None else np.asarray(value)
+        self._hybrid = build_hybrid(row, col, val, M, N, B=B)
+        return self._hybrid
+
+    # ------------------------------------------------------------------
     # Memoized host-side int64 views for the samplers/partitioner (the
     # C-ABI kernels take int64; converting 5-10 MB of CSR arrays per
     # sampler call dominated sampling time otherwise).  Host caches, not
@@ -821,6 +886,8 @@ class SparseStorage:
         self._csc2csr = None
         self._ell = None
         self._ell_t = None
+        self._hybrid = None
+        self._hybrid_skip = False
         return self
 
     def cached_keys(self) -> List[str]:
@@ -845,6 +912,7 @@ class SparseStorage:
             csc2csr=self._csc2csr, is_sorted=True, trust_data=True,
         )
         out._ell, out._ell_t = self._ell, self._ell_t
+        out._hybrid = self._hybrid
         cache = getattr(self, "_np_cache", None)
         if cache:
             out._np_cache = dict(cache)
@@ -875,6 +943,8 @@ class SparseStorage:
             out._ell = jax.tree_util.tree_map(fn, self._ell)
         if self._ell_t is not None:
             out._ell_t = jax.tree_util.tree_map(fn, self._ell_t)
+        if self._hybrid is not None:
+            out._hybrid = jax.tree_util.tree_map(fn, self._hybrid)
         return out
 
     def to_device(self, device) -> "SparseStorage":
@@ -895,6 +965,7 @@ def _storage_flatten(s: SparseStorage):
     children = (
         s._row, s._rowptr, s._col, s._value, s._rowcount, s._colptr,
         s._colcount, s._csr2csc, s._csc2csr, s._ell, s._ell_t,
+        s._hybrid,
     )
     return children, s._sparse_sizes
 
@@ -903,7 +974,7 @@ def _storage_unflatten(aux, children) -> SparseStorage:
     obj = object.__new__(SparseStorage)
     (obj._row, obj._rowptr, obj._col, obj._value, obj._rowcount, obj._colptr,
      obj._colcount, obj._csr2csc, obj._csc2csr, obj._ell,
-     obj._ell_t) = children
+     obj._ell_t, obj._hybrid) = children
     obj._sparse_sizes = aux
     return obj
 
