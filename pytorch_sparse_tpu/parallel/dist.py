@@ -57,28 +57,40 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+# Finite "infinity" for masked min/max extrema: avoids 0 * inf = NaN on
+# padding slots and survives f32 round-trips (reference uses the dtype
+# limits through its Reducer template, reducer.h:43-62).
+_BIG = 1e30
+
+
 def _build_group_ell(
-    groups: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+    groups: List[Tuple[np.ndarray, ...]],
     Mb: int,
     max_buckets: int = 6,
+    sentinel: int = 0,
+    E_total: int = 0,
 ):
     """Shared-shape ELLPACK tables for a list of edge groups.
 
-    Each group is ``(local_row, local_col, value)``.  Returns
-    ``(itabs, vtabs, invs, caps)`` where ``itabs[k]`` has shape
-    ``(G, R_k, caps[k])`` (gather index into the dense block, 0 on pad),
-    ``vtabs[k]`` matches with 0-valued padding, and ``invs`` has shape
-    ``(G, Mb)`` mapping each local row to its slot in the concatenated
-    per-group row stack (sentinel = total stack length for rows with no
-    edges).  Shapes are identical for every group, so the arrays can be
-    sharded on the leading axis and consumed uniformly under shard_map.
+    Each group is ``(local_row, gather_idx, value, edge_id)``.  Returns
+    ``(itabs, vtabs, etabs, invs, caps)`` where ``itabs[k]`` has shape
+    ``(G, R_k, caps[k])`` (gather index into the dense operand buffer;
+    padding slots hold ``sentinel`` = the buffer length, pointing at an
+    appended pad row), ``vtabs[k]`` matches with 0-valued padding,
+    ``etabs[k]`` holds each slot's global edge id (padding ``E_total`` —
+    the reference's empty-slot sentinel, csrc/spmm.cpp:210-211), and
+    ``invs`` has shape ``(G, Mb)`` mapping each local row to its slot in
+    the concatenated per-group row stack (sentinel = stack length for
+    rows with no edges).  Shapes are identical for every group, so the
+    arrays can be sharded on the leading axis and consumed uniformly
+    under shard_map.
     """
     from ..ops.kernels.ell import _choose_caps
 
     G = len(groups)
     degs = []
-    for r, _, _ in groups:
-        degs.append(np.bincount(r, minlength=Mb))
+    for grp in groups:
+        degs.append(np.bincount(grp[0], minlength=Mb))
     all_deg = np.concatenate([d[d > 0] for d in degs]) if G else np.zeros(0)
     caps = _choose_caps(all_deg, max_buckets=max_buckets)
     if not caps:
@@ -99,14 +111,19 @@ def _build_group_ell(
         sel_rows.append(per_bucket)
 
     L = sum(R[k] for k in range(len(caps)))  # stacked rows per group
-    itabs = [np.zeros((G, R[k], caps[k]), np.int32) for k in range(len(caps))]
+    itabs = [np.full((G, R[k], caps[k]), sentinel, np.int32)
+             for k in range(len(caps))]
     vtabs = [np.zeros((G, R[k], caps[k]), np.float32)
              for k in range(len(caps))]
-    invs = np.full((G, Mb), L, np.int32)  # sentinel -> zero row
+    etabs = [np.full((G, R[k], caps[k]), E_total, np.int32)
+             for k in range(len(caps))]
+    invs = np.full((G, Mb), L, np.int32)  # sentinel -> pad row
 
-    for g, (r, c, v) in enumerate(groups):
+    for g, grp in enumerate(groups):
+        r, c, v = grp[0], grp[1], grp[2]
+        e = grp[3] if len(grp) > 3 else np.zeros(r.shape[0], np.int64)
         order = np.argsort(r, kind="stable")
-        r_s, c_s, v_s = r[order], c[order], v[order]
+        r_s, c_s, v_s, e_s = r[order], c[order], v[order], e[order]
         starts = np.zeros(Mb + 1, np.int64)
         np.add.at(starts, r_s + 1, 1)
         starts = np.cumsum(starts)
@@ -123,21 +140,26 @@ def _build_group_ell(
                 p = np.repeat(st, ln) + off
                 itabs[k][g, rix, off] = c_s[p]
                 vtabs[k][g, rix, off] = v_s[p]
+                etabs[k][g, rix, off] = e_s[p]
                 invs[g, rows] = base + np.arange(rows.size)
             base += R[k]
     return (
         [jnp.asarray(t) for t in itabs],
         [jnp.asarray(t) for t in vtabs],
+        [jnp.asarray(t) for t in etabs],
         jnp.asarray(invs),
         caps,
     )
 
 
 def _group_ell_apply(itabs, vtabs, inv, x):
-    """out[r] = sum_j vtab[r, j] * x[itab[r, j]] for one group's tables.
+    """out[r] = sum_j vtab[r, j] * x_ext[itab[r, j]] for one group.
 
-    ``itabs[k]`` (R_k, cap), ``inv`` (Mb,).  Returns (Mb, K).
+    ``itabs[k]`` (R_k, cap), ``inv`` (Mb,).  Padding slots gather the
+    appended zero row (index ``x.shape[0]``) with value 0.  (Mb, K).
     """
+    K = x.shape[1]
+    x_ext = jnp.concatenate([x, jnp.zeros((1, K), x.dtype)])
     parts = []
     for itab, vtab in zip(itabs, vtabs):
         if itab.shape[0] == 0:
@@ -145,22 +167,89 @@ def _group_ell_apply(itabs, vtabs, inv, x):
         cap = itab.shape[1]
         acc = None
         from ..ops.kernels.ell import _chunk_cols
-        step = _chunk_cols(itab.shape[0], cap, x.shape[1])
+        step = _chunk_cols(itab.shape[0], cap, K)
         for s in range(0, cap, step):  # bound the (R, chunk, K) gather
             e = min(s + step, cap)
-            h = jnp.take(x, itab[:, s:e], axis=0)
+            h = jnp.take(x_ext, itab[:, s:e], axis=0)
             part = jnp.sum(
                 h * vtab[:, s:e, None].astype(h.dtype), axis=1
             )
             acc = part if acc is None else acc + part
         parts.append(acc)
-    K = x.shape[1]
     if parts:
         stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     else:
         stacked = jnp.zeros((0, K), x.dtype)
     stacked = jnp.concatenate([stacked, jnp.zeros((1, K), x.dtype)])
     return jnp.take(stacked, inv, axis=0)
+
+
+def _group_ell_minmax(itabs, vtabs, etabs, inv, x, is_min: bool):
+    """Masked extremum over one group's slots, with argout.
+
+    Returns ``(ext, arg)``: ``ext`` (Mb, K) is ±_BIG for rows with no
+    valid slot (callers fix empty rows to 0 via the global rowcount),
+    ``arg`` (Mb, K) the winning slot's global edge id (pad sentinel on
+    empty).  Built from differentiable jnp ops so JAX AD routes the
+    cotangent through the winning slot — the reference's argout-backward
+    contract (csrc/spmm.cpp:204-303) — including through the schedule
+    collectives.
+    """
+    K = x.shape[1]
+    big = jnp.asarray(_BIG if is_min else -_BIG, x.dtype)
+    x_ext = jnp.concatenate([x, jnp.zeros((1, K), x.dtype)])
+    n_buf = x.shape[0]
+    parts, aparts = [], []
+    for itab, vtab, etab in zip(itabs, vtabs, etabs):
+        if itab.shape[0] == 0:
+            continue
+        cap = itab.shape[1]
+        best = best_slot = None
+        from ..ops.kernels.ell import _chunk_cols
+        step = _chunk_cols(itab.shape[0], cap, K)
+        for s in range(0, cap, step):
+            e = min(s + step, cap)
+            h = jnp.take(x_ext, itab[:, s:e], axis=0)       # (R, c, K)
+            cand = h * vtab[:, s:e, None].astype(h.dtype)
+            valid = (itab[:, s:e] != n_buf)[..., None]
+            cand = jnp.where(valid, cand, big)
+            if is_min:
+                slot = jnp.argmin(cand, axis=1).astype(jnp.int32) + s
+                ext = jnp.min(cand, axis=1)
+            else:
+                slot = jnp.argmax(cand, axis=1).astype(jnp.int32) + s
+                ext = jnp.max(cand, axis=1)
+            if best is None:
+                best, best_slot = ext, slot
+            else:
+                better = (ext < best) if is_min else (ext > best)
+                best = jnp.where(better, ext, best)
+                best_slot = jnp.where(better, slot, best_slot)
+        parts.append(best)
+        aparts.append(
+            jnp.take_along_axis(etab, best_slot.astype(jnp.int32), axis=1)
+        )
+    if parts:
+        stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        astacked = (
+            aparts[0] if len(aparts) == 1 else jnp.concatenate(aparts)
+        )
+    else:
+        stacked = jnp.zeros((0, K), x.dtype)
+        astacked = jnp.zeros((0, K), jnp.int32)
+    stacked = jnp.concatenate(
+        [stacked, jnp.full((1, K), big, x.dtype)]
+    )
+    # pad rows: no edges in this group — arg sentinel is the etab pad
+    # value, which callers pass as E_total; reuse the max int32 here and
+    # let callers overwrite empty rows anyway.
+    astacked = jnp.concatenate(
+        [astacked, jnp.full((1, K), jnp.iinfo(jnp.int32).max, jnp.int32)]
+    )
+    return (
+        jnp.take(stacked, inv, axis=0),
+        jnp.take(astacked, inv, axis=0),
+    )
 
 
 class ShardedSparseMatrix:
@@ -182,7 +271,9 @@ class ShardedSparseMatrix:
                  flat_itabs, flat_vtabs, flat_inv,
                  int_itabs=(), int_vtabs=(), int_inv=None,
                  fr_itabs=(), fr_vtabs=(), fr_inv=None,
-                 serve_idx=None, halo_width: int = 0):
+                 serve_idx=None, halo_width: int = 0,
+                 ring_etabs=(), flat_etabs=(), int_etabs=(), fr_etabs=(),
+                 rowcount=None, nnz: int = 0):
         self.mesh = mesh
         self.M, self.N = M, N
         self.Mb, self.Nb = Mb, Nb
@@ -202,6 +293,15 @@ class ShardedSparseMatrix:
         self.fr_inv = fr_inv
         self.serve_idx = serve_idx
         self.halo_width = halo_width
+        # Edge-id tables (argout for min/max + value-grad mapping back to
+        # edge space) and the per-shard rowcount backing mean and the
+        # min/max empty-row fixup (reference reducer.h:64-73).
+        self.ring_etabs = tuple(ring_etabs)
+        self.flat_etabs = tuple(flat_etabs)
+        self.int_etabs = tuple(int_etabs)
+        self.fr_etabs = tuple(fr_etabs)
+        self.rowcount = rowcount
+        self.nnz = nnz
 
     @classmethod
     def from_sparse_tensor(
@@ -228,14 +328,18 @@ class ShardedSparseMatrix:
 
         owner = row // Mb
         block = col // Nb
+        E = row.shape[0]
+        eid = np.arange(E, dtype=np.int64)
 
         # --- flat per-shard groups (all-gather schedule; global cols)
         flat_groups = []
         for p in range(Pn):
             sel = owner == p
-            flat_groups.append((row[sel] - p * Mb, col[sel], value_np[sel]))
-        flat_itabs, flat_vtabs, flat_inv, _ = _build_group_ell(
-            flat_groups, Mb
+            flat_groups.append(
+                (row[sel] - p * Mb, col[sel], value_np[sel], eid[sel])
+            )
+        flat_itabs, flat_vtabs, flat_etabs, flat_inv, _ = _build_group_ell(
+            flat_groups, Mb, sentinel=Pn * Nb, E_total=E
         )
 
         # --- (shard, block) groups (ring schedule; block-local cols)
@@ -245,15 +349,22 @@ class ShardedSparseMatrix:
             for q in range(Pn):
                 sel = selp & (block == q)
                 ring_groups.append(
-                    (row[sel] - p * Mb, col[sel] - q * Nb, value_np[sel])
+                    (row[sel] - p * Mb, col[sel] - q * Nb, value_np[sel],
+                     eid[sel])
                 )
-        ring_itabs, ring_vtabs, ring_inv, _ = _build_group_ell(
-            ring_groups, Mb
+        ring_itabs, ring_vtabs, ring_etabs, ring_inv, _ = _build_group_ell(
+            ring_groups, Mb, sentinel=Nb, E_total=E
         )
         # (G=P*P, ...) -> (P, P, ...), leading dim sharded.
         ring_itabs = [t.reshape(Pn, Pn, *t.shape[1:]) for t in ring_itabs]
         ring_vtabs = [t.reshape(Pn, Pn, *t.shape[1:]) for t in ring_vtabs]
+        ring_etabs = [t.reshape(Pn, Pn, *t.shape[1:]) for t in ring_etabs]
         ring_inv = ring_inv.reshape(Pn, Pn, Mb)
+
+        # per-shard global rowcount (mean scaling + empty-row fixup)
+        rowcount = np.bincount(
+            row, minlength=Pn * Mb
+        ).reshape(Pn, Mb).astype(np.int32)
 
         # --- halo schedule: interior groups (own-block cols, local) +
         # frontier groups (gather into the received halo buffer) + the
@@ -269,22 +380,23 @@ class ShardedSparseMatrix:
             interior = selp & (block == p)
             int_groups.append((
                 row[interior] - p * Mb, col[interior] - p * Nb,
-                value_np[interior],
+                value_np[interior], eid[interior],
             ))
             fr = selp & (block != p)
             rf, cf, qf, vf = row[fr] - p * Mb, col[fr], block[fr], value_np[fr]
+            ef = eid[fr]
             for q in range(Pn):
                 sq = qf == q
                 if q == p or not sq.any():
                     continue
                 halo_cols[p][q] = np.unique(cf[sq] - q * Nb)
-            fr_raw.append((rf, cf, qf, vf))
+            fr_raw.append((rf, cf, qf, vf, ef))
         H = max(
             [1] + [u.size for per_p in halo_cols for u in per_p]
         )
         serve = np.zeros((Pn, Pn, H), np.int32)  # [server q, client p]
         for p in range(Pn):
-            rf, cf, qf, vf = fr_raw[p]
+            rf, cf, qf, vf, ef = fr_raw[p]
             buf_idx = np.zeros(rf.shape[0], np.int64)
             for q in range(Pn):
                 sq = qf == q
@@ -293,9 +405,13 @@ class ShardedSparseMatrix:
                 u = halo_cols[p][q]
                 serve[q, p, : u.size] = u
                 buf_idx[sq] = q * H + np.searchsorted(u, cf[sq] - q * Nb)
-            fr_groups.append((rf, buf_idx, vf))
-        int_itabs, int_vtabs, int_inv, _ = _build_group_ell(int_groups, Mb)
-        fr_itabs, fr_vtabs, fr_inv, _ = _build_group_ell(fr_groups, Mb)
+            fr_groups.append((rf, buf_idx, vf, ef))
+        int_itabs, int_vtabs, int_etabs, int_inv, _ = _build_group_ell(
+            int_groups, Mb, sentinel=Nb, E_total=E
+        )
+        fr_itabs, fr_vtabs, fr_etabs, fr_inv, _ = _build_group_ell(
+            fr_groups, Mb, sentinel=Pn * H, E_total=E
+        )
 
         def put(x):
             ndim = x.ndim
@@ -313,6 +429,11 @@ class ShardedSparseMatrix:
             [put(t) for t in fr_itabs], [put(t) for t in fr_vtabs],
             put(fr_inv),
             put(jnp.asarray(serve)), H,
+            ring_etabs=[put(t) for t in ring_etabs],
+            flat_etabs=[put(t) for t in flat_etabs],
+            int_etabs=[put(t) for t in int_etabs],
+            fr_etabs=[put(t) for t in fr_etabs],
+            rowcount=put(jnp.asarray(rowcount)), nnz=E,
         )
 
     # ------------------------------------------------------------------
@@ -339,14 +460,24 @@ def _shmat_flatten(s: ShardedSparseMatrix):
         s.int_itabs, s.int_vtabs, s.int_inv,
         s.fr_itabs, s.fr_vtabs, s.fr_inv,
         s.serve_idx,
+        s.ring_etabs, s.flat_etabs, s.int_etabs, s.fr_etabs, s.rowcount,
     )
-    return children, (s.mesh, s.M, s.N, s.Mb, s.Nb, s.halo_width)
+    return children, (s.mesh, s.M, s.N, s.Mb, s.Nb, s.halo_width, s.nnz)
 
 
 def _shmat_unflatten(aux, children) -> ShardedSparseMatrix:
-    mesh, M, N, Mb, Nb, halo_width = aux
-    return ShardedSparseMatrix(mesh, M, N, Mb, Nb, *children,
-                               halo_width=halo_width)
+    mesh, M, N, Mb, Nb, halo_width, nnz = aux
+    (ring_itabs, ring_vtabs, ring_inv, flat_itabs, flat_vtabs, flat_inv,
+     int_itabs, int_vtabs, int_inv, fr_itabs, fr_vtabs, fr_inv,
+     serve_idx, ring_etabs, flat_etabs, int_etabs, fr_etabs,
+     rowcount) = children
+    return ShardedSparseMatrix(
+        mesh, M, N, Mb, Nb, ring_itabs, ring_vtabs, ring_inv,
+        flat_itabs, flat_vtabs, flat_inv, int_itabs, int_vtabs, int_inv,
+        fr_itabs, fr_vtabs, fr_inv, serve_idx, halo_width=halo_width,
+        ring_etabs=ring_etabs, flat_etabs=flat_etabs, int_etabs=int_etabs,
+        fr_etabs=fr_etabs, rowcount=rowcount, nnz=nnz,
+    )
 
 
 jax.tree_util.register_pytree_node(
@@ -354,44 +485,82 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _allgather_local(itabs, vtabs, inv, x_local):
+def _combine_minmax(a, b, is_min):
+    """(ext, arg) running combine; strict comparison keeps the earlier
+    winner on ties (reference reducer.h:52-62)."""
+    ea, aa = a
+    eb, ab = b
+    better = (eb < ea) if is_min else (eb > ea)
+    return jnp.where(better, eb, ea), jnp.where(better, ab, aa)
+
+
+def _allgather_local(is_min, itabs, vtabs, etabs, inv, x_local):
     x_full = lax.all_gather(x_local[0], data_axis, tiled=True)  # (N_pad, K)
-    out = _group_ell_apply(
-        [t[0] for t in itabs], [t[0] for t in vtabs], inv[0], x_full
+    one = lambda ts: [t[0] for t in ts]  # noqa: E731
+    if is_min is None:
+        out = _group_ell_apply(one(itabs), one(vtabs), inv[0], x_full)
+        return out[None]
+    out, arg = _group_ell_minmax(
+        one(itabs), one(vtabs), one(etabs), inv[0], x_full, is_min
     )
-    return out[None]
+    return out[None], arg[None]
 
 
-def _ring_local(Mb, Pn, itabs, vtabs, inv, x_local):
+def _ring_local(Mb, Pn, is_min, itabs, vtabs, etabs, inv, x_local):
     me = lax.axis_index(data_axis)
     xblk = x_local[0]  # (Nb, K)
     K = xblk.shape[1]
     # Mark the zero accumulator as device-varying over the mesh axis up
     # front: ppermute produces varying values, and lax.fori_loop requires
     # the carry type to be loop-invariant.
-    out0 = lax.pvary(jnp.zeros((Mb, K), xblk.dtype), (data_axis,))
+    if is_min is None:
+        out0 = lax.pvary(jnp.zeros((Mb, K), xblk.dtype), (data_axis,))
+    else:
+        big = _BIG if is_min else -_BIG
+        out0 = lax.pvary(jnp.full((Mb, K), big, xblk.dtype), (data_axis,))
+        arg0 = lax.pvary(
+            jnp.full((Mb, K), jnp.iinfo(jnp.int32).max, jnp.int32),
+            (data_axis,),
+        )
 
     def step(s, carry):
-        out, xblk = carry
+        if is_min is None:
+            out, xblk = carry
+        else:
+            (out, arg), xblk = carry
         owner = (me + s) % Pn
         g_itabs = [jnp.take(t[0], owner, axis=0) for t in itabs]
         g_vtabs = [jnp.take(t[0], owner, axis=0) for t in vtabs]
         g_inv = jnp.take(inv[0], owner, axis=0)
-        out = out + _group_ell_apply(g_itabs, g_vtabs, g_inv, xblk)
+        if is_min is None:
+            out = out + _group_ell_apply(g_itabs, g_vtabs, g_inv, xblk)
+        else:
+            g_etabs = [jnp.take(t[0], owner, axis=0) for t in etabs]
+            step_oa = _group_ell_minmax(
+                g_itabs, g_vtabs, g_etabs, g_inv, xblk, is_min
+            )
+            out, arg = _combine_minmax((out, arg), step_oa, is_min)
         # Rotate: i receives from (i+1), so after s steps we hold block
         # (me + s) % P -- the transfer for step s+1 overlaps this compute.
         xblk = lax.ppermute(
             xblk, data_axis,
             perm=[(i, (i - 1) % Pn) for i in range(Pn)],
         )
-        return out, xblk
+        if is_min is None:
+            return out, xblk
+        return (out, arg), xblk
 
-    out, _ = lax.fori_loop(0, Pn, step, (out0, xblk), unroll=True)
-    return out[None]
+    if is_min is None:
+        out, _ = lax.fori_loop(0, Pn, step, (out0, xblk), unroll=True)
+        return out[None]
+    (out, arg), _ = lax.fori_loop(
+        0, Pn, step, ((out0, arg0), xblk), unroll=True
+    )
+    return out[None], arg[None]
 
 
-def _halo_local(int_itabs, int_vtabs, int_inv,
-                fr_itabs, fr_vtabs, fr_inv, serve_idx, x_local):
+def _halo_local(is_min, int_itabs, int_vtabs, int_etabs, int_inv,
+                fr_itabs, fr_vtabs, fr_etabs, fr_inv, serve_idx, x_local):
     x = x_local[0]                                  # (Nb, K)
     K = x.shape[1]
     # Serve: the rows each client needs from this shard, gathered locally
@@ -402,87 +571,150 @@ def _halo_local(int_itabs, int_vtabs, int_inv,
     halo = lax.all_to_all(
         served, data_axis, split_axis=0, concat_axis=0, tiled=True
     )                                               # (P, H, K): [q] from q
-    out = _group_ell_apply(
-        [t[0] for t in int_itabs], [t[0] for t in int_vtabs], int_inv[0], x
+    one = lambda ts: [t[0] for t in ts]  # noqa: E731
+    if is_min is None:
+        out = _group_ell_apply(
+            one(int_itabs), one(int_vtabs), int_inv[0], x
+        )
+        out = out + _group_ell_apply(
+            one(fr_itabs), one(fr_vtabs), fr_inv[0], halo.reshape(-1, K)
+        )
+        return out[None]
+    oa_int = _group_ell_minmax(
+        one(int_itabs), one(int_vtabs), one(int_etabs), int_inv[0], x,
+        is_min,
     )
-    out = out + _group_ell_apply(
-        [t[0] for t in fr_itabs], [t[0] for t in fr_vtabs], fr_inv[0],
-        halo.reshape(-1, K),
+    oa_fr = _group_ell_minmax(
+        one(fr_itabs), one(fr_vtabs), one(fr_etabs), fr_inv[0],
+        halo.reshape(-1, K), is_min,
     )
-    return out[None]
+    out, arg = _combine_minmax(oa_int, oa_fr, is_min)
+    return out[None], arg[None]
+
+
+def _is_min_of(reduce: str):
+    if reduce in ("sum", "add", "mean"):
+        return None
+    if reduce == "min":
+        return True
+    if reduce == "max":
+        return False
+    raise ValueError(f"Unknown reduce mode: {reduce!r}")
+
+
+def _postprocess(A, out, arg, reduce, dtype):
+    """Empty-row + mean fixup from the per-shard rowcount: mean divides
+    by max(count, 1) (reference reducer.h:64-66), min/max write 0 and
+    the out-of-range sentinel arg == nnz on empty rows (reducer.h:70-73,
+    csrc/spmm.cpp:210-211)."""
+    rc = A.rowcount  # (P, Mb)
+    if reduce == "mean":
+        deg = jnp.maximum(rc, 1).astype(dtype)
+        return out / deg[:, :, None]
+    if reduce in ("min", "max"):
+        empty = (rc == 0)[:, :, None]
+        out = jnp.where(empty, jnp.zeros((), dtype), out)
+        arg = jnp.where(empty, A.nnz, arg)
+        return out, arg.astype(jnp.int32)
+    return out
 
 
 def dist_spmm_halo(
-    A: ShardedSparseMatrix, x_sharded: jnp.ndarray
-) -> jnp.ndarray:
+    A: ShardedSparseMatrix, x_sharded: jnp.ndarray, reduce: str = "sum"
+):
     """Halo-exchange SpMM: interior compute overlaps one all_to_all of
-    only the referenced remote rows. Returns (P, Mb, K)."""
+    only the referenced remote rows.  Returns (P, Mb, K); min/max also
+    return the argout (winning global edge id, sentinel nnz)."""
+    is_min = _is_min_of(reduce)
     spec3 = P(data_axis, None, None)
     fn = jax.shard_map(
-        _halo_local,
+        partial(_halo_local, is_min),
         mesh=A.mesh,
         in_specs=(
             tuple(spec3 for _ in A.int_itabs),
             tuple(spec3 for _ in A.int_vtabs),
+            tuple(spec3 for _ in A.int_etabs),
             P(data_axis, None),
             tuple(spec3 for _ in A.fr_itabs),
             tuple(spec3 for _ in A.fr_vtabs),
+            tuple(spec3 for _ in A.fr_etabs),
             P(data_axis, None),
             spec3,
             spec3,
         ),
-        out_specs=spec3,
+        out_specs=spec3 if is_min is None else (spec3, spec3),
     )
-    return fn(A.int_itabs, A.int_vtabs, A.int_inv,
-              A.fr_itabs, A.fr_vtabs, A.fr_inv, A.serve_idx, x_sharded)
+    res = fn(A.int_itabs, A.int_vtabs, A.int_etabs, A.int_inv,
+             A.fr_itabs, A.fr_vtabs, A.fr_etabs, A.fr_inv,
+             A.serve_idx, x_sharded)
+    if is_min is None:
+        return _postprocess(A, res, None, reduce, x_sharded.dtype)
+    return _postprocess(A, res[0], res[1], reduce, x_sharded.dtype)
 
 
 def dist_spmm_allgather(
-    A: ShardedSparseMatrix, x_sharded: jnp.ndarray
-) -> jnp.ndarray:
+    A: ShardedSparseMatrix, x_sharded: jnp.ndarray, reduce: str = "sum"
+):
     """x_sharded: (P, Nb, K) from :meth:`shard_dense`. Returns (P, Mb, K)."""
+    is_min = _is_min_of(reduce)
     spec3 = P(data_axis, None, None)
     fn = jax.shard_map(
-        _allgather_local,
+        partial(_allgather_local, is_min),
         mesh=A.mesh,
         in_specs=(
             tuple(spec3 for _ in A.flat_itabs),
             tuple(spec3 for _ in A.flat_vtabs),
+            tuple(spec3 for _ in A.flat_etabs),
             P(data_axis, None),
             spec3,
         ),
-        out_specs=spec3,
+        out_specs=spec3 if is_min is None else (spec3, spec3),
     )
-    return fn(A.flat_itabs, A.flat_vtabs, A.flat_inv, x_sharded)
+    res = fn(A.flat_itabs, A.flat_vtabs, A.flat_etabs, A.flat_inv,
+             x_sharded)
+    if is_min is None:
+        return _postprocess(A, res, None, reduce, x_sharded.dtype)
+    return _postprocess(A, res[0], res[1], reduce, x_sharded.dtype)
 
 
 def dist_spmm_ring(
-    A: ShardedSparseMatrix, x_sharded: jnp.ndarray
-) -> jnp.ndarray:
-    """Ring-rotated SpMM with overlapped halo exchange. Returns (P, Mb, K)."""
+    A: ShardedSparseMatrix, x_sharded: jnp.ndarray, reduce: str = "sum"
+):
+    """Ring-rotated SpMM with overlapped block rotation. Returns (P, Mb, K)."""
+    is_min = _is_min_of(reduce)
     spec3 = P(data_axis, None, None)
     spec4 = P(data_axis, None, None, None)
     fn = jax.shard_map(
-        partial(_ring_local, A.Mb, A.P),
+        partial(_ring_local, A.Mb, A.P, is_min),
         mesh=A.mesh,
         in_specs=(
             tuple(spec4 for _ in A.ring_itabs),
             tuple(spec4 for _ in A.ring_vtabs),
+            tuple(spec4 for _ in A.ring_etabs),
             spec3,
             spec3,
         ),
-        out_specs=spec3,
+        out_specs=spec3 if is_min is None else (spec3, spec3),
     )
-    return fn(A.ring_itabs, A.ring_vtabs, A.ring_inv, x_sharded)
+    res = fn(A.ring_itabs, A.ring_vtabs, A.ring_etabs, A.ring_inv,
+             x_sharded)
+    if is_min is None:
+        return _postprocess(A, res, None, reduce, x_sharded.dtype)
+    return _postprocess(A, res[0], res[1], reduce, x_sharded.dtype)
 
 
 def dist_spmm(
-    A: ShardedSparseMatrix, x_sharded: jnp.ndarray, schedule: str = "ring"
-) -> jnp.ndarray:
+    A: ShardedSparseMatrix, x_sharded: jnp.ndarray,
+    schedule: str = "ring", reduce: str = "sum",
+):
+    """Reduce-aware distributed SpMM (the 4-mode contract of reference
+    ``torch_sparse/matmul.py:79-91``, here across a device mesh).
+    ``sum``/``mean`` return (P, Mb, K); ``min``/``max`` return
+    ``(out, arg)`` with the reference argout semantics."""
     if schedule == "ring":
-        return dist_spmm_ring(A, x_sharded)
+        return dist_spmm_ring(A, x_sharded, reduce)
     elif schedule == "allgather":
-        return dist_spmm_allgather(A, x_sharded)
+        return dist_spmm_allgather(A, x_sharded, reduce)
     elif schedule == "halo":
-        return dist_spmm_halo(A, x_sharded)
+        return dist_spmm_halo(A, x_sharded, reduce)
     raise ValueError(f"Unknown schedule: {schedule!r}")

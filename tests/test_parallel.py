@@ -31,14 +31,119 @@ def mesh():
 
 
 @pytest.mark.parametrize("schedule", ["allgather", "ring", "halo"])
-def test_dist_spmm_matches_single_device(mesh, schedule):
+@pytest.mark.parametrize("reduce", ["sum", "mean", "min", "max"])
+def test_dist_spmm_matches_single_device(mesh, schedule, reduce):
+    """Forward parity for the full 4-mode reduce contract (reference
+    matmul.py:79-91) on every schedule, vs the single-device path."""
     A = _random_adj(100, 700)
     x = jnp.asarray(np.random.RandomState(1).randn(100, 8), jnp.float32)
-    expected = matmul(A, x, "sum")
+    expected = matmul(A, x, reduce)
 
     Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh)
-    got = Ash.unshard_dense(dist_spmm(Ash, Ash.shard_dense(x), schedule))
+    res = dist_spmm(Ash, Ash.shard_dense(x), schedule, reduce)
+    if reduce in ("min", "max"):
+        res, arg = res
+        # argout: reference semantics — an in-range edge id wherever the
+        # row is non-empty, the sentinel nnz on empty rows.
+        arg_flat = Ash.unshard_dense(arg)
+        rc = np.zeros(100, np.int64)
+        np.add.at(rc, np.asarray(A.storage.row()), 1)
+        empty = rc == 0
+        assert (np.asarray(arg_flat)[empty] == A.nnz()).all()
+        assert (np.asarray(arg_flat)[~empty] < A.nnz()).all()
+        # and the argout points at edges achieving the extremum
+        col_np = np.asarray(A.storage.col())
+        val_np = np.asarray(A.storage.value())
+        a = np.asarray(arg_flat)[~empty]
+        got = np.asarray(Ash.unshard_dense(res))[np.flatnonzero(~empty)]
+        k_ix = np.broadcast_to(np.arange(8)[None, :], a.shape)
+        cand = val_np[a] * np.asarray(x)[col_np[a], k_ix]
+        assert np.allclose(cand, got, atol=1e-4)
+    got = Ash.unshard_dense(res)
     assert np.allclose(got, expected, atol=1e-4)
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring", "halo"])
+@pytest.mark.parametrize("reduce", ["sum", "mean", "min", "max"])
+def test_dist_spmm_grads_oracle(mesh, schedule, reduce):
+    """BOTH gradients (x and edge values) oracle-checked vs the
+    single-device custom-vjp path, for every reduce x schedule pair
+    (replaces the round-1 isfinite smoke test)."""
+    A = _random_adj(64, 300, seed=5)
+    x = jnp.asarray(np.random.RandomState(6).randn(64, 4), jnp.float32)
+    row, col, value = A.coo()
+
+    # single-device oracle grads
+    def ref_loss(v, xx):
+        return (matmul(A.set_value(v, layout="coo"), xx, reduce) ** 2).sum()
+
+    gv_ref, gx_ref = jax.grad(ref_loss, argnums=(0, 1))(value, x)
+
+    Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    xs = Ash.shard_dense(x)
+    fam = {
+        "allgather": ("flat_vtabs", "flat_etabs"),
+        "ring": ("ring_vtabs", "ring_etabs"),
+        "halo": (("int_vtabs", "int_etabs"), ("fr_vtabs", "fr_etabs")),
+    }[schedule]
+
+    def run(vtabs_list, xx):
+        kw = {}
+        if schedule == "halo":
+            kw = {"int_vtabs": vtabs_list[0], "fr_vtabs": vtabs_list[1]}
+        elif schedule == "ring":
+            kw = {"ring_vtabs": vtabs_list[0]}
+        else:
+            kw = {"flat_vtabs": vtabs_list[0]}
+        base = dict(
+            ring_itabs=Ash.ring_itabs, ring_vtabs=Ash.ring_vtabs,
+            ring_inv=Ash.ring_inv, flat_itabs=Ash.flat_itabs,
+            flat_vtabs=Ash.flat_vtabs, flat_inv=Ash.flat_inv,
+            int_itabs=Ash.int_itabs, int_vtabs=Ash.int_vtabs,
+            int_inv=Ash.int_inv, fr_itabs=Ash.fr_itabs,
+            fr_vtabs=Ash.fr_vtabs, fr_inv=Ash.fr_inv,
+            serve_idx=Ash.serve_idx, halo_width=Ash.halo_width,
+            ring_etabs=Ash.ring_etabs, flat_etabs=Ash.flat_etabs,
+            int_etabs=Ash.int_etabs, fr_etabs=Ash.fr_etabs,
+            rowcount=Ash.rowcount, nnz=Ash.nnz,
+        )
+        base.update(kw)
+        A2 = ShardedSparseMatrix(Ash.mesh, Ash.M, Ash.N, Ash.Mb, Ash.Nb,
+                                 **base)
+        res = dist_spmm(A2, xx, schedule, reduce)
+        out = res[0] if reduce in ("min", "max") else res
+        return (out ** 2).sum()
+
+    if schedule == "halo":
+        vt0 = (Ash.int_vtabs, Ash.fr_vtabs)
+        et = (Ash.int_etabs, Ash.fr_etabs)
+    elif schedule == "ring":
+        vt0 = (Ash.ring_vtabs,)
+        et = (Ash.ring_etabs,)
+    else:
+        vt0 = (Ash.flat_vtabs,)
+        et = (Ash.flat_etabs,)
+    del fam
+
+    g_vt, g_x = jax.jit(jax.grad(run, argnums=(0, 1)))(vt0, xs)
+
+    # x-grad vs oracle
+    assert np.allclose(
+        Ash.unshard_dense(g_x), gx_ref, atol=1e-3
+    ), f"x-grad mismatch ({schedule}, {reduce})"
+
+    # value-grad: map vtab grads back to edge space through the edge-id
+    # tables and compare to the single-device value gradient.
+    gv = np.zeros(A.nnz() + 1, np.float64)
+    for fam_g, fam_e in zip(g_vt, et):
+        for gt, etab in zip(fam_g, fam_e):
+            np.add.at(
+                gv, np.asarray(etab).ravel(),
+                np.asarray(gt, np.float64).ravel(),
+            )
+    assert np.allclose(
+        gv[:-1], np.asarray(gv_ref, np.float64), atol=1e-3
+    ), f"value-grad mismatch ({schedule}, {reduce})"
 
 
 def test_halo_schedule_grads_and_width(mesh):
