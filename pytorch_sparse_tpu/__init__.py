@@ -36,7 +36,7 @@ from .sample import (  # noqa
     relabel, relabel_one_hop, neighbor_sample, hetero_neighbor_sample,
     hetero_temporal_neighbor_sample, hgt_sample,
 )
-from .partition import partition, weight2metis  # noqa
+from .partition import mt_partition, partition, weight2metis  # noqa
 
 __all__ = [
     "SparseStorage",
@@ -114,6 +114,7 @@ __all__ = [
     "hetero_temporal_neighbor_sample",
     "hgt_sample",
     "partition",
+    "mt_partition",
     "weight2metis",
     "__version__",
 ]

@@ -45,11 +45,15 @@ def multilevel_partition(
     rowptr: np.ndarray, col: np.ndarray, num_parts: int,
     node_weight: Optional[np.ndarray] = None, seed: int = 1,
     imbalance: float = 0.05, edge_weight: Optional[np.ndarray] = None,
+    num_workers: int = 0,
 ) -> Tuple[np.ndarray, int]:
     """METIS-style multilevel k-way partition; returns (cluster, cut).
 
     ``edge_weight`` (int64, nnz) seeds heavy-edge matching + refinement
-    gains (the METIS adjwgt analogue; reference ``weighted=True``)."""
+    gains (the METIS adjwgt analogue; reference ``weighted=True``).
+    ``num_workers > 0`` routes to the threaded entry (the mt-metis
+    analogue, reference csrc/metis.cpp:49-69): OpenMP streaming phases
+    + CAS-claimed matching; nondeterministic under real concurrency."""
     n = rowptr.shape[0] - 1
     cluster = np.empty(n, np.int64)
     nw = (
@@ -60,16 +64,23 @@ def multilevel_partition(
         np.ascontiguousarray(edge_weight, np.int64)
         if edge_weight is not None else None
     )
-    lib.multilevel_partition_ew.restype = ctypes.c_int64
-    cut = lib.multilevel_partition_ew(
+    common = (
         _p(np.ascontiguousarray(rowptr, np.int64)),
         _p(np.ascontiguousarray(col, np.int64)),
         ctypes.c_int64(n),
         _pd(nw) if nw is not None else None,
         _p(ew) if ew is not None else None,
         ctypes.c_int64(num_parts), ctypes.c_uint64(seed),
-        ctypes.c_double(imbalance), _p(cluster),
+        ctypes.c_double(imbalance),
     )
+    if num_workers > 0:
+        lib.multilevel_partition_mt.restype = ctypes.c_int64
+        cut = lib.multilevel_partition_mt(
+            *common, ctypes.c_int64(num_workers), _p(cluster)
+        )
+    else:
+        lib.multilevel_partition_ew.restype = ctypes.c_int64
+        cut = lib.multilevel_partition_ew(*common, _p(cluster))
     return cluster, int(cut)
 
 

@@ -115,6 +115,17 @@ int64_t multilevel_partition_ew(const int64_t *rowptr_in,
                                 uint64_t seed, double imbalance,
                                 int64_t *cluster);
 
+// Threaded entry (the analogue of the reference's mt-metis binding,
+// csrc/metis.cpp:49-69): same pipeline with the streaming phases under
+// OpenMP and CAS-claimed matching.  num_workers <= 0 uses the OpenMP
+// default.  Nondeterministic under real concurrency, like mt-metis.
+int64_t multilevel_partition_mt(const int64_t *rowptr_in,
+                                const int64_t *col_in, int64_t n_nodes,
+                                const double *node_weight,
+                                const int64_t *edge_w, int64_t n_parts,
+                                uint64_t seed, double imbalance,
+                                int64_t num_workers, int64_t *cluster);
+
 // HGT layer-wise importance sampling over the flattened relation
 // encoding (see hetero_neighbor_sample for the layout).
 void hgt_sample(int64_t n_types, int64_t n_rels, int64_t num_hops,

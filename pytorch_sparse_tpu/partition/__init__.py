@@ -1,1 +1,1 @@
-from .metis import partition, weight2metis, partition_fn  # noqa
+from .metis import mt_partition, partition, partition_fn, weight2metis  # noqa

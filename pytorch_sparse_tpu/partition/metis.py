@@ -112,22 +112,24 @@ def partition_fn(
     node_weight: Optional[np.ndarray] = None,
     refine: bool = True,
     edge_weight: Optional[np.ndarray] = None,
+    num_workers: int = 0,
 ) -> np.ndarray:
     """Cluster assignment per node (the native-op analogue of
     ``torch_sparse::partition``/``partition2``, ``metis_cpu.cpp:13-62``;
-    ``edge_weight`` is the METIS adjwgt analogue)."""
+    ``edge_weight`` is the METIS adjwgt analogue; ``num_workers > 0``
+    routes to the threaded mt-metis analogue, ``metis.cpp:49-69``)."""
     n = rowptr.shape[0] - 1
 
     from ..csrc import bindings
 
     if refine and num_parts > 1 and bindings.available():
         # METIS-style multilevel partitioner (heavy-edge matching +
-        # BFS region growing + edge-weighted refinement per level).
+        # GGGP region growing + edge-weighted refinement per level).
         cluster, _cut = bindings.multilevel_partition(
             rowptr, col, num_parts,
             node_weight.astype(np.float64)
             if node_weight is not None else None,
-            edge_weight=edge_weight,
+            edge_weight=edge_weight, num_workers=num_workers,
         )
         return cluster
 
@@ -172,6 +174,7 @@ def partition(
     weighted: bool = False,
     node_weight: Optional[jnp.ndarray] = None,
     balance_edge: bool = False,
+    num_workers: int = 0,
 ) -> Tuple[SparseTensor, jnp.ndarray, jnp.ndarray]:
     """Reference ``metis.py:24-75`` contract: returns the row/col-permuted
     adjacency, ``partptr`` delimiting each part's node range, and the
@@ -210,7 +213,8 @@ def partition(
     elif node_weight is not None:
         nw = np.asarray(node_weight, np.float64)
 
-    cluster = partition_fn(rowptr_np, col_np, num_parts, nw, edge_weight=ew)
+    cluster = partition_fn(rowptr_np, col_np, num_parts, nw, edge_weight=ew,
+                           num_workers=num_workers)
 
     # Permutation/partptr math on host (the permute() below consumes
     # host views; a device argsort here is an eager per-shape compile;
@@ -225,8 +229,31 @@ def partition(
             jnp.asarray(perm_np.astype(np_index)))
 
 
+def mt_partition(
+    src: SparseTensor,
+    num_parts: int,
+    recursive: bool = False,
+    weighted: bool = False,
+    node_weight: Optional[jnp.ndarray] = None,
+    num_workers: int = 8,
+) -> Tuple[SparseTensor, jnp.ndarray, jnp.ndarray]:
+    """Threaded partition — the reference's mt-metis entry
+    (``torch.ops.torch_sparse.mt_partition``, ``csrc/metis.cpp:49-69``):
+    identical contract to :func:`partition`, executed with the
+    OpenMP/CAS-parallel pipeline.  Nondeterministic under real
+    concurrency, like mt-metis."""
+    return partition(src, num_parts, recursive, weighted, node_weight,
+                     num_workers=max(int(num_workers), 1))
+
+
 SparseTensor.partition = (
     lambda self, num_parts, recursive=False, weighted=False,
-    node_weight=None, balance_edge=False: partition(
-        self, num_parts, recursive, weighted, node_weight, balance_edge)
+    node_weight=None, balance_edge=False, num_workers=0: partition(
+        self, num_parts, recursive, weighted, node_weight, balance_edge,
+        num_workers)
+)
+SparseTensor.mt_partition = (
+    lambda self, num_parts, recursive=False, weighted=False,
+    node_weight=None, num_workers=8: mt_partition(
+        self, num_parts, recursive, weighted, node_weight, num_workers)
 )
