@@ -6,10 +6,13 @@ is promoted to a first-class distribution layer: row-partitioned sparse
 matrices over a ``jax.sharding.Mesh``, with distributed SpMM via
 ``shard_map`` and XLA collectives (all_gather / ppermute ring with
 compute-communication overlap), the TPU analogue of ring attention's KV
-rotation (SURVEY.md §5 "long-context" mapping).
+rotation (SURVEY.md §5 "long-context" mapping).  A 2-D ``(row, feature)``
+mesh (``make_mesh2d``) additionally shards the dense operand's feature
+dimension, dividing every collective's per-chip bytes by the feature-axis
+size — the large-K / papers100M-halo lever.
 """
 
-from .mesh import make_mesh, data_axis  # noqa
+from .mesh import make_mesh, make_mesh2d, data_axis, feat_axis  # noqa
 from .dist import (  # noqa
     ShardedSparseMatrix, dist_spmm, dist_spmm_allgather, dist_spmm_halo,
     dist_spmm_ring,

@@ -50,7 +50,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..tensor import SparseTensor
-from .mesh import data_axis
+from .mesh import data_axis, feat_axis
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -277,7 +277,10 @@ class ShardedSparseMatrix:
         self.mesh = mesh
         self.M, self.N = M, N
         self.Mb, self.Nb = Mb, Nb
-        self.P = mesh.devices.size
+        # Row-shard count = the data axis extent; a 2-D (data, feat) mesh
+        # keeps the edge tables replicated across the feature axis.
+        self.P = mesh.shape[data_axis]
+        self.Pf = mesh.shape.get(feat_axis, 1)
         self.ring_itabs = tuple(ring_itabs)
         self.ring_vtabs = tuple(ring_vtabs)
         self.ring_inv = ring_inv
@@ -311,9 +314,11 @@ class ShardedSparseMatrix:
 
         For METIS-aware layouts, permute ``A`` first (``partition()``) so
         block boundaries match cluster boundaries and ring traffic is
-        minimized.
+        minimized.  On a 2-D ``(data, feat)`` mesh (``make_mesh2d``) the
+        tables shard over the data axis and replicate over the feature
+        axis; :meth:`shard_dense` then splits K across the feature axis.
         """
-        Pn = mesh.devices.size
+        Pn = mesh.shape[data_axis]
         M, N = A.sparse_sizes()
         Mb, Nb = _cdiv(M, Pn), _cdiv(N, Pn)
 
@@ -438,15 +443,31 @@ class ShardedSparseMatrix:
 
     # ------------------------------------------------------------------
     def shard_dense(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(N, K) dense operand -> (P, Nb, K) stacked row blocks, sharded."""
+        """(N, K) dense operand -> (P, Nb, K) stacked row blocks, sharded.
+
+        On a 2-D mesh K additionally shards over the feature axis (K must
+        divide evenly — pad features host-side if needed).
+        """
         K = x.shape[1]
+        if K % self.Pf:
+            raise ValueError(
+                f"K={K} must be divisible by the feature-axis size "
+                f"{self.Pf}; pad the feature dimension."
+            )
         pad = self.P * self.Nb - x.shape[0]
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, K), x.dtype)])
         x = x.reshape(self.P, self.Nb, K)
         return jax.device_put(
-            x, NamedSharding(self.mesh, P(data_axis, None, None))
+            x, NamedSharding(self.mesh, self._xspec)
         )
+
+    @property
+    def _xspec(self):
+        """PartitionSpec of the stacked dense operand/output blocks."""
+        if self.Pf > 1:
+            return P(data_axis, None, feat_axis)
+        return P(data_axis, None, None)
 
     def unshard_dense(self, y: jnp.ndarray) -> jnp.ndarray:
         """(P, Mb, K) stacked output -> (M, K)."""
@@ -494,33 +515,44 @@ def _combine_minmax(a, b, is_min):
     return jnp.where(better, eb, ea), jnp.where(better, ab, aa)
 
 
-def _allgather_local(is_min, itabs, vtabs, etabs, inv, x_local):
+def _pv(t, vary):
+    """Promote a feat-replicated table block to vary over ``vary`` so it
+    can combine with the feature-sharded operand under check_vma."""
+    return lax.pcast(t, vary, to="varying") if vary else t
+
+
+def _allgather_local(is_min, vary, itabs, vtabs, etabs, inv, x_local):
     x_full = lax.all_gather(x_local[0], data_axis, tiled=True)  # (N_pad, K)
-    one = lambda ts: [t[0] for t in ts]  # noqa: E731
+    one = lambda ts: [_pv(t[0], vary) for t in ts]  # noqa: E731
     if is_min is None:
-        out = _group_ell_apply(one(itabs), one(vtabs), inv[0], x_full)
+        out = _group_ell_apply(one(itabs), one(vtabs), _pv(inv[0], vary),
+                               x_full)
         return out[None]
     out, arg = _group_ell_minmax(
-        one(itabs), one(vtabs), one(etabs), inv[0], x_full, is_min
+        one(itabs), one(vtabs), one(etabs), _pv(inv[0], vary), x_full,
+        is_min,
     )
     return out[None], arg[None]
 
 
-def _ring_local(Mb, Pn, is_min, itabs, vtabs, etabs, inv, x_local):
+def _ring_local(Mb, Pn, is_min, vary, itabs, vtabs, etabs, inv, x_local):
     me = lax.axis_index(data_axis)
     xblk = x_local[0]  # (Nb, K)
     K = xblk.shape[1]
-    # Mark the zero accumulator as device-varying over the mesh axis up
+    axes = (data_axis,) + tuple(vary)
+    # Mark the zero accumulator as device-varying over the mesh axes up
     # front: ppermute produces varying values, and lax.fori_loop requires
     # the carry type to be loop-invariant.
     if is_min is None:
-        out0 = lax.pvary(jnp.zeros((Mb, K), xblk.dtype), (data_axis,))
+        out0 = lax.pcast(jnp.zeros((Mb, K), xblk.dtype), axes,
+                         to="varying")
     else:
         big = _BIG if is_min else -_BIG
-        out0 = lax.pvary(jnp.full((Mb, K), big, xblk.dtype), (data_axis,))
-        arg0 = lax.pvary(
+        out0 = lax.pcast(jnp.full((Mb, K), big, xblk.dtype), axes,
+                         to="varying")
+        arg0 = lax.pcast(
             jnp.full((Mb, K), jnp.iinfo(jnp.int32).max, jnp.int32),
-            (data_axis,),
+            axes, to="varying",
         )
 
     def step(s, carry):
@@ -528,14 +560,16 @@ def _ring_local(Mb, Pn, is_min, itabs, vtabs, etabs, inv, x_local):
             out, xblk = carry
         else:
             (out, arg), xblk = carry
-        owner = (me + s) % Pn
-        g_itabs = [jnp.take(t[0], owner, axis=0) for t in itabs]
-        g_vtabs = [jnp.take(t[0], owner, axis=0) for t in vtabs]
-        g_inv = jnp.take(inv[0], owner, axis=0)
+        owner = _pv((me + s) % Pn, vary)
+        g_itabs = [jnp.take(_pv(t[0], vary), owner, axis=0) for t in itabs]
+        g_vtabs = [jnp.take(_pv(t[0], vary), owner, axis=0) for t in vtabs]
+        g_inv = jnp.take(_pv(inv[0], vary), owner, axis=0)
         if is_min is None:
             out = out + _group_ell_apply(g_itabs, g_vtabs, g_inv, xblk)
         else:
-            g_etabs = [jnp.take(t[0], owner, axis=0) for t in etabs]
+            g_etabs = [
+                jnp.take(_pv(t[0], vary), owner, axis=0) for t in etabs
+            ]
             step_oa = _group_ell_minmax(
                 g_itabs, g_vtabs, g_etabs, g_inv, xblk, is_min
             )
@@ -559,7 +593,7 @@ def _ring_local(Mb, Pn, is_min, itabs, vtabs, etabs, inv, x_local):
     return out[None], arg[None]
 
 
-def _halo_local(is_min, int_itabs, int_vtabs, int_etabs, int_inv,
+def _halo_local(is_min, vary, int_itabs, int_vtabs, int_etabs, int_inv,
                 fr_itabs, fr_vtabs, fr_etabs, fr_inv, serve_idx, x_local):
     x = x_local[0]                                  # (Nb, K)
     K = x.shape[1]
@@ -567,25 +601,26 @@ def _halo_local(is_min, int_itabs, int_vtabs, int_etabs, int_inv,
     # then exchanged in one all_to_all.  The interior SpMM has no data
     # dependence on the exchange, so XLA's latency-hiding scheduler can
     # run the collective concurrently with it (true async on TPU).
-    served = jnp.take(x, serve_idx[0], axis=0)      # (P, H, K)
+    served = jnp.take(x, _pv(serve_idx[0], vary), axis=0)  # (P, H, K)
     halo = lax.all_to_all(
         served, data_axis, split_axis=0, concat_axis=0, tiled=True
     )                                               # (P, H, K): [q] from q
-    one = lambda ts: [t[0] for t in ts]  # noqa: E731
+    one = lambda ts: [_pv(t[0], vary) for t in ts]  # noqa: E731
     if is_min is None:
         out = _group_ell_apply(
-            one(int_itabs), one(int_vtabs), int_inv[0], x
+            one(int_itabs), one(int_vtabs), _pv(int_inv[0], vary), x
         )
         out = out + _group_ell_apply(
-            one(fr_itabs), one(fr_vtabs), fr_inv[0], halo.reshape(-1, K)
+            one(fr_itabs), one(fr_vtabs), _pv(fr_inv[0], vary),
+            halo.reshape(-1, K),
         )
         return out[None]
     oa_int = _group_ell_minmax(
-        one(int_itabs), one(int_vtabs), one(int_etabs), int_inv[0], x,
-        is_min,
+        one(int_itabs), one(int_vtabs), one(int_etabs),
+        _pv(int_inv[0], vary), x, is_min,
     )
     oa_fr = _group_ell_minmax(
-        one(fr_itabs), one(fr_vtabs), one(fr_etabs), fr_inv[0],
+        one(fr_itabs), one(fr_vtabs), one(fr_etabs), _pv(fr_inv[0], vary),
         halo.reshape(-1, K), is_min,
     )
     out, arg = _combine_minmax(oa_int, oa_fr, is_min)
@@ -627,8 +662,10 @@ def dist_spmm_halo(
     return the argout (winning global edge id, sentinel nnz)."""
     is_min = _is_min_of(reduce)
     spec3 = P(data_axis, None, None)
+    xspec = A._xspec
+    vary = (feat_axis,) if A.Pf > 1 else ()
     fn = jax.shard_map(
-        partial(_halo_local, is_min),
+        partial(_halo_local, is_min, vary),
         mesh=A.mesh,
         in_specs=(
             tuple(spec3 for _ in A.int_itabs),
@@ -640,9 +677,9 @@ def dist_spmm_halo(
             tuple(spec3 for _ in A.fr_etabs),
             P(data_axis, None),
             spec3,
-            spec3,
+            xspec,
         ),
-        out_specs=spec3 if is_min is None else (spec3, spec3),
+        out_specs=xspec if is_min is None else (xspec, xspec),
     )
     res = fn(A.int_itabs, A.int_vtabs, A.int_etabs, A.int_inv,
              A.fr_itabs, A.fr_vtabs, A.fr_etabs, A.fr_inv,
@@ -658,17 +695,19 @@ def dist_spmm_allgather(
     """x_sharded: (P, Nb, K) from :meth:`shard_dense`. Returns (P, Mb, K)."""
     is_min = _is_min_of(reduce)
     spec3 = P(data_axis, None, None)
+    xspec = A._xspec
+    vary = (feat_axis,) if A.Pf > 1 else ()
     fn = jax.shard_map(
-        partial(_allgather_local, is_min),
+        partial(_allgather_local, is_min, vary),
         mesh=A.mesh,
         in_specs=(
             tuple(spec3 for _ in A.flat_itabs),
             tuple(spec3 for _ in A.flat_vtabs),
             tuple(spec3 for _ in A.flat_etabs),
             P(data_axis, None),
-            spec3,
+            xspec,
         ),
-        out_specs=spec3 if is_min is None else (spec3, spec3),
+        out_specs=xspec if is_min is None else (xspec, xspec),
     )
     res = fn(A.flat_itabs, A.flat_vtabs, A.flat_etabs, A.flat_inv,
              x_sharded)
@@ -684,17 +723,19 @@ def dist_spmm_ring(
     is_min = _is_min_of(reduce)
     spec3 = P(data_axis, None, None)
     spec4 = P(data_axis, None, None, None)
+    xspec = A._xspec
+    vary = (feat_axis,) if A.Pf > 1 else ()
     fn = jax.shard_map(
-        partial(_ring_local, A.Mb, A.P, is_min),
+        partial(_ring_local, A.Mb, A.P, is_min, vary),
         mesh=A.mesh,
         in_specs=(
             tuple(spec4 for _ in A.ring_itabs),
             tuple(spec4 for _ in A.ring_vtabs),
             tuple(spec4 for _ in A.ring_etabs),
             spec3,
-            spec3,
+            xspec,
         ),
-        out_specs=spec3 if is_min is None else (spec3, spec3),
+        out_specs=xspec if is_min is None else (xspec, xspec),
     )
     res = fn(A.ring_itabs, A.ring_vtabs, A.ring_etabs, A.ring_inv,
              x_sharded)

@@ -8,7 +8,7 @@ import pytest
 
 from pytorch_sparse_tpu import SparseTensor, matmul
 from pytorch_sparse_tpu.parallel import (
-    ShardedSparseMatrix, dist_spmm, make_mesh,
+    ShardedSparseMatrix, dist_spmm, make_mesh, make_mesh2d,
 )
 
 
@@ -144,6 +144,66 @@ def test_dist_spmm_grads_oracle(mesh, schedule, reduce):
     assert np.allclose(
         gv[:-1], np.asarray(gv_ref, np.float64), atol=1e-3
     ), f"value-grad mismatch ({schedule}, {reduce})"
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh2d(4, 2)
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring", "halo"])
+@pytest.mark.parametrize("reduce", ["sum", "max"])
+def test_dist_spmm_2d_mesh_matches_single_device(mesh2d, schedule, reduce):
+    """2-D (row x feature) mesh: tables replicate over the feature axis,
+    K shards across it, collectives ride the data axis per feature group
+    (new work — the reference has no distributed runtime, SURVEY.md §2.3)."""
+    A = _random_adj(100, 700, seed=7)
+    x = jnp.asarray(np.random.RandomState(8).randn(100, 8), jnp.float32)
+    expected = matmul(A, x, reduce)
+
+    Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh2d)
+    assert Ash.P == 4 and Ash.Pf == 2
+    res = dist_spmm(Ash, Ash.shard_dense(x), schedule, reduce)
+    if reduce == "max":
+        res, arg = res
+        # argout edges must achieve the reported maximum
+        col_np = np.asarray(A.storage.col())
+        val_np = np.asarray(A.storage.value())
+        arg_flat = np.asarray(Ash.unshard_dense(arg))
+        rc = np.zeros(100, np.int64)
+        np.add.at(rc, np.asarray(A.storage.row()), 1)
+        nonempty = np.flatnonzero(rc > 0)
+        a = arg_flat[nonempty]
+        got_rows = np.asarray(Ash.unshard_dense(res))[nonempty]
+        k_ix = np.broadcast_to(np.arange(8)[None, :], a.shape)
+        cand = val_np[a] * np.asarray(x)[col_np[a], k_ix]
+        assert np.allclose(cand, got_rows, atol=1e-4)
+    got = Ash.unshard_dense(res)
+    assert np.allclose(got, expected, atol=1e-4)
+
+
+def test_dist_spmm_2d_mesh_grads(mesh2d):
+    """x-gradient flows through the feature-sharded halo schedule."""
+    A = _random_adj(64, 300, seed=9)
+    x = jnp.asarray(np.random.RandomState(10).randn(64, 4), jnp.float32)
+    Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh2d)
+    xs = Ash.shard_dense(x)
+    g_x = jax.jit(jax.grad(
+        lambda s: (dist_spmm(Ash, s, "halo") ** 2).sum()
+    ))(xs)
+    expected_gx = jax.grad(
+        lambda x: ((A.to_dense() @ x) ** 2).sum()
+    )(x)
+    assert np.allclose(Ash.unshard_dense(g_x), expected_gx, atol=1e-3)
+
+
+def test_shard_dense_2d_requires_divisible_K(mesh2d):
+    A = _random_adj(32, 100, seed=11)
+    Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh2d)
+    with pytest.raises(ValueError, match="divisible"):
+        Ash.shard_dense(jnp.zeros((32, 5), jnp.float32))
 
 
 def test_halo_schedule_grads_and_width(mesh):
