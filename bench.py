@@ -71,26 +71,10 @@ def _community_graph(ts):
     """Reddit-10% density, communities laid out contiguously (the
     layout ``partition()`` produces; hybrid_bench.py measures the same
     construction with a real METIS pass)."""
-    rng = np.random.RandomState(1)
+    from pytorch_sparse_tpu.testing import community_graph
+
     M = 23_296
-    E_raw = 16_000_000
-    n_comm = 30
-    bounds = np.linspace(0, M, n_comm + 1).astype(np.int64)
-    comm_of = np.repeat(np.arange(n_comm), np.diff(bounds))
-    src = rng.randint(0, M, E_raw)
-    intra = rng.rand(E_raw) < 0.9
-    c = comm_of[src[intra]]
-    dst = rng.randint(0, M, E_raw)
-    lo, hi = bounds[c], bounds[c + 1]
-    dst[intra] = lo + (rng.rand(int(intra.sum())) * (hi - lo)).astype(
-        np.int64
-    )
-    A = ts.SparseTensor(
-        row=src, col=dst, sparse_sizes=(M, M)
-    ).coalesce("add")
-    A = A.set_value(
-        jnp.asarray(rng.randn(A.nnz()).astype(np.float32)), layout="coo"
-    )
+    A = community_graph(M, 16_000_000, n_comm=30, seed=1, equal_sizes=True)
     return A, M, int(A.nnz())
 
 

@@ -47,23 +47,10 @@ def _graph(P, M_per, E_per, partitioned, intra=0.9, seed=0):
     if partitioned:
         # Community graph + METIS layout: the low-cut regime where the
         # halo schedule's referenced-rows-only traffic pays off.
-        n_comm = max(8 * P, 16)
-        comm = rng.randint(0, n_comm, M)
-        order = np.argsort(comm)
-        cp = np.searchsorted(comm[order], np.arange(n_comm + 1))
-        src = rng.randint(0, M, E)
-        sel = rng.rand(E) < intra
-        c = comm[src[sel]]
-        dst = rng.randint(0, M, E)
-        dst[sel] = order[
-            cp[c] + (rng.rand(int(sel.sum())) * (cp[c + 1] - cp[c]))
-            .astype(np.int64)
-        ]
-        A = ts.SparseTensor(
-            row=src, col=dst,
-            value=jnp.asarray(rng.randn(E).astype(np.float32)),
-            sparse_sizes=(M, M),
-        ).coalesce("add")
+        from pytorch_sparse_tpu.testing import community_graph
+
+        A = community_graph(M, E, n_comm=max(8 * P, 16), intra_p=intra,
+                            rng=rng)
         if P > 1:
             A, _, _ = A.partition(P)
     else:

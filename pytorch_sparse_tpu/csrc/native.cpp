@@ -523,6 +523,16 @@ void heavy_edge_matching(const CoarseGraph &g,
       }
       __atomic_store_n(&match[v], claimed, __ATOMIC_RELEASE);
     }
+    // A node u1 can be claimed by v, skip its own iteration (its CAS
+    // fails), and then be released back to -1 when v upgrades to a
+    // heavier neighbor.  Nothing revisits it, so it would reach the
+    // coarsening loop with match == -1 and drive an out-of-bounds
+    // cmap[-1] write.  Self-match any such orphan after the barrier;
+    // only the releasing thread ever wrote its slot, so a plain store
+    // is safe here.
+#pragma omp parallel for schedule(static)
+    for (int64_t v = 0; v < n; v++)
+      if (match[v] < 0) match[v] = (pidx)v;
     return;
   }
 #else

@@ -289,14 +289,50 @@ def _hybrid_spmm_sum_fwd(h, row, col, value, mat):
     return hybrid_spmm(h, mat, value=value), (h, row, col, value, mat)
 
 
+def _edge_dot_chunked(row, col, mat, grad):
+    """``out[e] = <mat[col[e]], grad[row[e]]>`` with bounded memory.
+
+    The naive two-gather formulation materializes two ``(E, K)`` arrays —
+    ~58 GB each at full-Reddit scale — so scan over fixed-size edge
+    chunks instead, keeping the gathered temporaries near the same
+    element budget the ELL kernels use (``ell._CHUNK_ELEMS``).
+    """
+    from .kernels.ell import _CHUNK_ELEMS
+
+    E, K = row.shape[0], mat.shape[1]
+    if E == 0:
+        return jnp.zeros((0,), mat.dtype)
+    step = min(E, max(1, _CHUNK_ELEMS // max(K, 1)))
+    n = -(-E // step)
+    if n == 1:
+        return jnp.sum(
+            jnp.take(mat, col, axis=0) * jnp.take(grad, row, axis=0),
+            axis=-1,
+        )
+    pad = n * step - E
+    r = jnp.concatenate([row, jnp.zeros(pad, row.dtype)]) if pad else row
+    c = jnp.concatenate([col, jnp.zeros(pad, col.dtype)]) if pad else col
+
+    def body(_, rc):
+        ri, ci = rc
+        return None, jnp.sum(
+            jnp.take(mat, ci, axis=0) * jnp.take(grad, ri, axis=0),
+            axis=-1,
+        )
+
+    _, outs = jax.lax.scan(
+        body, None, (r.reshape(n, step), c.reshape(n, step))
+    )
+    return outs.reshape(-1)[:E]
+
+
 def _hybrid_spmm_sum_bwd(res, grad):
     h, row, col, value, mat = res
     grad_value = None
     if value is not None:
-        grad_value = jnp.sum(
-            jnp.take(mat, col, axis=0) * jnp.take(grad, row, axis=0),
-            axis=-1,
-        ).astype(value.dtype)
+        grad_value = _edge_dot_chunked(row, col, mat, grad).astype(
+            value.dtype
+        )
     grad_mat = hybrid_spmm_t(h, grad, value=value).astype(mat.dtype)
     return (
         _zero_cotangent(h), _int_zero(row), _int_zero(col),

@@ -57,10 +57,18 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-# Finite "infinity" for masked min/max extrema: avoids 0 * inf = NaN on
-# padding slots and survives f32 round-trips (reference uses the dtype
-# limits through its Reducer template, reducer.h:43-62).
-_BIG = 1e30
+def _extreme(dtype, is_min):
+    """Identity element for a masked min/max in ``dtype`` — the true
+    dtype limits, like the reference's Reducer template (reducer.h:43-62).
+    Safe here because padding slots are replaced wholesale with
+    ``jnp.where`` (never multiplied), so ``inf`` cannot produce NaNs."""
+    d = jnp.dtype(dtype)
+    if jnp.issubdtype(d, jnp.floating):
+        v = jnp.inf if is_min else -jnp.inf
+    else:
+        info = jnp.iinfo(d)
+        v = info.max if is_min else info.min
+    return jnp.asarray(v, d)
 
 
 def _build_group_ell(
@@ -187,16 +195,18 @@ def _group_ell_apply(itabs, vtabs, inv, x):
 def _group_ell_minmax(itabs, vtabs, etabs, inv, x, is_min: bool):
     """Masked extremum over one group's slots, with argout.
 
-    Returns ``(ext, arg)``: ``ext`` (Mb, K) is ±_BIG for rows with no
+    Returns ``(ext, arg)``: ``ext`` (Mb, K) is the dtype extreme for rows with no
     valid slot (callers fix empty rows to 0 via the global rowcount),
     ``arg`` (Mb, K) the winning slot's global edge id (pad sentinel on
-    empty).  Built from differentiable jnp ops so JAX AD routes the
-    cotangent through the winning slot — the reference's argout-backward
-    contract (csrc/spmm.cpp:204-303) — including through the schedule
-    collectives.
+    empty).  The extremum is re-read through ``take_along_axis`` at the
+    arg slot (not ``jnp.min``/``max``, whose AD splits tied cotangents),
+    so JAX AD routes the FULL cotangent through the single winning slot —
+    the reference's argout-backward contract (csrc/spmm.cpp:204-303) —
+    including through the schedule collectives.  Within a group the
+    winner on ties is the first slot, which is the first CSR-order edge.
     """
     K = x.shape[1]
-    big = jnp.asarray(_BIG if is_min else -_BIG, x.dtype)
+    big = _extreme(x.dtype, is_min)
     x_ext = jnp.concatenate([x, jnp.zeros((1, K), x.dtype)])
     n_buf = x.shape[0]
     parts, aparts = [], []
@@ -214,11 +224,13 @@ def _group_ell_minmax(itabs, vtabs, etabs, inv, x, is_min: bool):
             valid = (itab[:, s:e] != n_buf)[..., None]
             cand = jnp.where(valid, cand, big)
             if is_min:
-                slot = jnp.argmin(cand, axis=1).astype(jnp.int32) + s
-                ext = jnp.min(cand, axis=1)
+                sl = jnp.argmin(cand, axis=1).astype(jnp.int32)
             else:
-                slot = jnp.argmax(cand, axis=1).astype(jnp.int32) + s
-                ext = jnp.max(cand, axis=1)
+                sl = jnp.argmax(cand, axis=1).astype(jnp.int32)
+            # Re-read the extremum at the winning slot: AD then sends the
+            # whole cotangent to that one slot instead of splitting ties.
+            ext = jnp.take_along_axis(cand, sl[:, None, :], axis=1)[:, 0]
+            slot = sl + s
             if best is None:
                 best, best_slot = ext, slot
             else:
@@ -507,11 +519,16 @@ jax.tree_util.register_pytree_node(
 
 
 def _combine_minmax(a, b, is_min):
-    """(ext, arg) running combine; strict comparison keeps the earlier
-    winner on ties (reference reducer.h:52-62)."""
+    """(ext, arg) running combine.  Value ties break to the LOWER edge id,
+    which is the first CSR-order edge — the reference's tie rule
+    (reducer.h:52-62 keeps the first row-scan hit) — so the argout is
+    identical across schedules (ring starts at the own block, halo
+    combines interior before frontier; processing order must not leak
+    into the result)."""
     ea, aa = a
     eb, ab = b
     better = (eb < ea) if is_min else (eb > ea)
+    better = better | ((eb == ea) & (ab < aa))
     return jnp.where(better, eb, ea), jnp.where(better, ab, aa)
 
 
@@ -547,7 +564,7 @@ def _ring_local(Mb, Pn, is_min, vary, itabs, vtabs, etabs, inv, x_local):
         out0 = lax.pcast(jnp.zeros((Mb, K), xblk.dtype), axes,
                          to="varying")
     else:
-        big = _BIG if is_min else -_BIG
+        big = _extreme(xblk.dtype, is_min)
         out0 = lax.pcast(jnp.full((Mb, K), big, xblk.dtype), axes,
                          to="varying")
         arg0 = lax.pcast(

@@ -704,8 +704,13 @@ class SparseStorage:
         from .ops.kernels.hybrid import build_hybrid, dense_fraction
 
         frac, nb = dense_fraction(row, col, M, N, B=B)
+        # build_hybrid allocates blocks in the value dtype (f32 for
+        # implicit ones), so size the cap with the actual element width.
+        elem = 4 if value is None else max(
+            4, jnp.dtype(value.dtype).itemsize
+        )
         if (frac < self._HYBRID_MIN_FRACTION
-                or (nb + 1) * B * B * 4 > self._HYBRID_MAX_BLOCK_BYTES):
+                or (nb + 1) * B * B * elem > self._HYBRID_MAX_BLOCK_BYTES):
             self._hybrid_skip = True
             return None
         val = None if value is None else np.asarray(value)

@@ -1,11 +1,13 @@
-"""Test parametrization matrix (reference ``torch_sparse/testing.py:6-19``)."""
+"""Test parametrization matrix (reference ``torch_sparse/testing.py:6-19``)
+plus the shared synthetic-graph generators used by tests and benchmarks."""
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 reductions = ["sum", "add", "mean", "min", "max"]
 
@@ -36,6 +38,59 @@ def tolerance(dtype) -> float:
     # reduction; 1e-5 absorbs fp32 rounding differences (the reference's
     # 1e-7 works there because its oracle is the same scatter order).
     return 1e-5
+
+
+def community_graph(
+    M: int,
+    E: int,
+    n_comm: int,
+    intra_p: float = 0.9,
+    rng: Optional[np.random.RandomState] = None,
+    seed: int = 0,
+    equal_sizes: bool = False,
+    values: bool = True,
+):
+    """Synthetic community graph in community-sorted (METIS-like) layout.
+
+    ``intra_p`` of the edges stay inside the source node's community.
+    ``equal_sizes`` uses ``n_comm`` contiguous equal blocks; otherwise
+    community sizes are multinomial (random assignment, nodes laid out
+    community-contiguously via an argsort permutation).  The single
+    source of truth for the generator shared by ``bench.py``,
+    ``tests/test_hybrid.py`` and ``benchmarks/weak_scaling.py`` — keep
+    them measuring the same graph family.
+
+    Returns a coalesced :class:`SparseTensor`; duplicate draws merge by
+    ``add`` and, when ``values``, fresh N(0,1) values are attached after
+    coalescing (one value per surviving nnz).
+    """
+    from .tensor import SparseTensor
+
+    if rng is None:
+        rng = np.random.RandomState(seed)
+    if equal_sizes:
+        cp = np.linspace(0, M, n_comm + 1).astype(np.int64)
+        comm_of = np.repeat(np.arange(n_comm), np.diff(cp))
+        order = np.arange(M, dtype=np.int64)
+    else:
+        comm_of = rng.randint(0, n_comm, M)
+        order = np.argsort(comm_of)
+        cp = np.searchsorted(comm_of[order], np.arange(n_comm + 1))
+    src = rng.randint(0, M, E)
+    intra = rng.rand(E) < intra_p
+    c = comm_of[src[intra]]
+    dst = rng.randint(0, M, E)
+    lo, hi = cp[c], cp[c + 1]
+    dst[intra] = order[
+        lo + (rng.rand(int(intra.sum())) * (hi - lo)).astype(np.int64)
+    ]
+    A = SparseTensor(row=src, col=dst, sparse_sizes=(M, M)).coalesce("add")
+    if values:
+        A = A.set_value(
+            jnp.asarray(rng.randn(A.nnz()).astype(np.float32)),
+            layout="coo",
+        )
+    return A
 
 
 def strict_tolerance(dtype) -> float:

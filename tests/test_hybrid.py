@@ -95,21 +95,9 @@ def test_gcn_trains_on_hybrid_adjacency():
 
 
 def _community_graph(rng, M, E, n_comm, intra_p=0.9):
-    comm = rng.randint(0, n_comm, M)
-    order = np.argsort(comm)
-    cp = np.searchsorted(comm[order], np.arange(n_comm + 1))
-    src = rng.randint(0, M, E)
-    intra = rng.rand(E) < intra_p
-    c = comm[src[intra]]
-    dst = rng.randint(0, M, E)
-    dst[intra] = order[
-        cp[c] + (rng.rand(int(intra.sum())) * (cp[c + 1] - cp[c]))
-        .astype(np.int64)
-    ]
-    A = SparseTensor(row=src, col=dst, sparse_sizes=(M, M)).coalesce("add")
-    return A.set_value(
-        jnp.asarray(rng.randn(A.nnz()).astype(np.float32)), layout="coo"
-    )
+    from pytorch_sparse_tpu.testing import community_graph
+
+    return community_graph(M, E, n_comm, intra_p=intra_p, rng=rng)
 
 
 def test_hybrid_spmm_t_matches_transpose():
@@ -281,3 +269,28 @@ def test_block_aligned_hybrid_matches_and_shrinks_blocks():
     # row_map is a strictly increasing injection
     rm = np.asarray(h_align.row_map)
     assert (np.diff(rm) > 0).all()
+
+
+def test_edge_dot_chunked_scan_branch(monkeypatch):
+    """The bounded-memory scan formulation of grad_value must match the
+    naive two-gather one (shrink the chunk budget to force >1 chunk and
+    padding)."""
+    import importlib
+
+    from pytorch_sparse_tpu.ops.kernels import ell as ell_mod
+
+    mm = importlib.import_module("pytorch_sparse_tpu.ops.matmul")
+
+    rng = np.random.RandomState(13)
+    E, N, M, K = 103, 40, 30, 7
+    row = jnp.asarray(rng.randint(0, M, E).astype(np.int32))
+    col = jnp.asarray(rng.randint(0, N, E).astype(np.int32))
+    mat = jnp.asarray(rng.randn(N, K).astype(np.float32))
+    grad = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    expected = jnp.sum(
+        jnp.take(mat, col, axis=0) * jnp.take(grad, row, axis=0), axis=-1
+    )
+    monkeypatch.setattr(ell_mod, "_CHUNK_ELEMS", 10 * K)
+    got = mm._edge_dot_chunked(row, col, mat, grad)
+    assert got.shape == (E,)
+    assert np.allclose(np.asarray(got), np.asarray(expected), atol=1e-5)

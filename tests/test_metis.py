@@ -149,3 +149,51 @@ def test_weighted_partition_respects_edge_weights():
     assert len(set(blob(0)) | set(blob(1))) == 1
     assert len(set(blob(2)) | set(blob(3))) == 1
     assert blob(0)[0] != blob(2)[0]
+
+
+def test_mt_partition_threaded_stress():
+    """mt_partition with a real OpenMP team (threads > cores is fine).
+
+    Exercises the CAS heavy-edge matcher under genuine concurrency: a
+    node claimed by a neighbor and then RELEASED (the claimer upgraded
+    to a heavier match) must be re-self-matched before coarsening, or
+    the cmap pass writes out of bounds (native.cpp matcher cleanup).
+    Repeats over seeds/shapes to vary interleavings; asserts the
+    partition stays valid and balanced every time."""
+    import numpy as np
+
+    from pytorch_sparse_tpu.csrc import bindings
+
+    if not bindings.available():
+        pytest.skip("native library not built")
+
+    rng = np.random.RandomState(11)
+    for trial in range(4):
+        B, NB = 4, 800
+        N = B * NB
+        rows, cols = [], []
+        for b in range(B):
+            base = b * NB
+            rows.append(rng.randint(0, NB, 9_000) + base)
+            cols.append(rng.randint(0, NB, 9_000) + base)
+        rows.append(rng.randint(0, N, 1_800))
+        cols.append(rng.randint(0, N, 1_800))
+        row = np.concatenate(rows)
+        col = np.concatenate(cols)
+        row, col = np.concatenate([row, col]), np.concatenate([col, row])
+        order = np.lexsort((col, row))
+        row, col = row[order], col[order]
+        # weighted edges make upgrades (claim -> release -> re-claim)
+        # frequent in the matcher
+        ew = rng.randint(1, 50, row.shape[0]).astype(np.int64)
+        rowptr = np.zeros(N + 1, np.int64)
+        np.add.at(rowptr, row + 1, 1)
+        rowptr = np.cumsum(rowptr)
+
+        cluster, cut = bindings.multilevel_partition(
+            rowptr, col, B, edge_weight=ew, seed=trial + 1, num_workers=8
+        )
+        assert cluster.shape[0] == N
+        assert cluster.min() >= 0 and cluster.max() < B
+        sizes = np.bincount(cluster, minlength=B)
+        assert sizes.min() > 0.5 * NB, sizes

@@ -146,6 +146,71 @@ def test_dist_spmm_grads_oracle(mesh, schedule, reduce):
     ), f"value-grad mismatch ({schedule}, {reduce})"
 
 
+@pytest.mark.parametrize("schedule", ["allgather", "ring", "halo"])
+@pytest.mark.parametrize("reduce", ["min", "max"])
+def test_dist_minmax_tie_contract(mesh, schedule, reduce):
+    """Value ties must resolve to the FIRST CSR-order edge — identically
+    across schedules and identically to the single-device argout path
+    (reference tie rule, reducer.h:52-62) — and the full cotangent must
+    route to that single winning edge, not split across tied slots."""
+    from pytorch_sparse_tpu import spmm_max, spmm_min
+
+    M, deg, K = 48, 6, 5
+    rng = np.random.RandomState(3)
+    row = np.repeat(np.arange(M), deg)
+    col = rng.randint(0, M, row.size)
+    A = SparseTensor(
+        row=jnp.asarray(row.astype(np.int32)),
+        col=jnp.asarray(col.astype(np.int32)),
+        value=jnp.ones(row.size, jnp.float32),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+    # x rows repeat with period 3 => distinct columns give identical
+    # candidates, producing systematic ties across column blocks.
+    base = np.random.RandomState(4).randn(3, K).astype(np.float32)
+    x = jnp.asarray(base[np.arange(M) % 3])
+
+    fn = spmm_min if reduce == "min" else spmm_max
+    out_ref, arg_ref = fn(A, x)
+
+    # numpy oracle: first CSR-order edge achieving the extremum
+    r_np = np.asarray(A.storage.row())
+    c_np = np.asarray(A.storage.col())
+    v_np = np.asarray(A.storage.value())
+    x_np = np.asarray(x)
+    arg_oracle = np.full((M, K), A.nnz(), np.int64)
+    out_oracle = np.zeros((M, K), np.float32)
+    for r in range(M):
+        eids = np.flatnonzero(r_np == r)
+        if eids.size == 0:
+            continue
+        cand = v_np[eids, None] * x_np[c_np[eids]]  # (deg, K)
+        pick = (np.argmin(cand, axis=0) if reduce == "min"
+                else np.argmax(cand, axis=0))
+        arg_oracle[r] = eids[pick]
+        out_oracle[r] = cand[pick, np.arange(K)]
+    assert (np.asarray(arg_ref) == arg_oracle).all(), \
+        "single-device argout broke the first-CSR-edge tie rule"
+
+    Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    xs = Ash.shard_dense(x)
+    out_d, arg_d = dist_spmm(Ash, xs, schedule, reduce)
+    assert np.allclose(Ash.unshard_dense(out_d), out_oracle, atol=1e-5)
+    assert (np.asarray(Ash.unshard_dense(arg_d)) == arg_oracle).all(), \
+        f"{schedule} argout tie-breaking diverged from CSR order"
+
+    # Gradients: the whole cotangent must land on the winning edge.
+    gx_ref = jax.grad(lambda xx: (fn(A, xx)[0] ** 2).sum())(x)
+
+    def loss(xx):
+        o, _ = dist_spmm(Ash, xx, schedule, reduce)
+        return (o ** 2).sum()
+
+    g_x = jax.jit(jax.grad(loss))(xs)
+    assert np.allclose(Ash.unshard_dense(g_x), gx_ref, atol=1e-4), \
+        f"tied x-gradient split/misrouted ({schedule}, {reduce})"
+
+
 @pytest.fixture(scope="module")
 def mesh2d():
     if len(jax.devices()) < 8:
