@@ -1429,22 +1429,30 @@ int64_t spgemm_nnz_impl(const int64_t *rowptrA, const int64_t *colA,
                         int64_t *rowptrC) {
   int64_t R = row_hi - row_lo;
   rowptrC[0] = 0;
+  const int64_t W = (P + 63) / 64;
 #pragma omp parallel
   {
-    std::vector<I> mark(P, (I)-1);
+    // Bitset mark: P/8 bytes (29 KB at Reddit scale, L1-resident) vs an
+    // int32 stamp array (1 MB/thread).  Measured speed-neutral on one
+    // core (the pass is instruction-bound at ~7 cycles/term; seq BW is
+    // 46 GB/s so the colB stream is ~7% of the time), but the 32x
+    // smaller per-thread footprint keeps many-thread hosts out of L3
+    // contention.  Clearing costs O(P/64) words/row, negligible next
+    // to terms/row.
+    std::vector<uint64_t> bits(W, 0);
 #pragma omp for schedule(dynamic, 64)
     for (int64_t r = 0; r < R; r++) {
       int64_t i = row_lo + r;
-      I stamp = (I)r;
+      std::fill(bits.begin(), bits.end(), 0);
       int64_t cnt = 0;
       for (int64_t e = rowptrA[i]; e < rowptrA[i + 1]; e++) {
         int64_t k = colA[e];
         for (int64_t f = rowptrB[k]; f < rowptrB[k + 1]; f++) {
           int64_t j = colB[f];
-          if (mark[j] != stamp) {
-            mark[j] = stamp;
-            cnt++;
-          }
+          const uint64_t m = 1ull << (j & 63);
+          uint64_t &w = bits[j >> 6];
+          cnt += !(w & m);
+          w |= m;
         }
       }
       rowptrC[r + 1] = cnt;
