@@ -18,7 +18,7 @@ lib = None
 # Bump together with native.cpp's sparse_tpu_native_abi_version when the
 # C ABI changes (the analogue of the reference's CUDA-version handshake,
 # torch_sparse/__init__.py:23-37 + csrc/version.cpp).
-ABI_VERSION = 4
+ABI_VERSION = 6
 
 _so_path = os.path.join(os.path.dirname(__file__), "libsparse_tpu_native.so")
 if os.path.exists(_so_path):

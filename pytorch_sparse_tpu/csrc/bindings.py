@@ -481,3 +481,176 @@ def spgemm(
         _p(rowptrC), _p(colC), None if valC is None else _pd(valC),
     )
     return rowptrC, colC, valC
+
+
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+
+
+def radix_argsort(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of non-negative uint64 keys (native LSD radix).
+
+    Bit-identical to ``np.argsort(keys, kind="stable")`` (both stable);
+    the TPU-host analogue of the reference's optional
+    ``pyg_lib.ops.index_sort`` acceleration (``torch_sparse/utils.py:
+    14-21``).  Callers must guarantee non-negative keys.
+    """
+    keys = np.ascontiguousarray(keys, np.uint64)
+    n = keys.shape[0]
+    perm = np.empty(n, np.int64)
+    lib.radix_argsort_u64.restype = None
+    lib.radix_argsort_u64(
+        keys.ctypes.data_as(_u64p), ctypes.c_int64(n), _p(perm)
+    )
+    return perm
+
+
+def lexsort_pair(hi: np.ndarray, lo: np.ndarray, lo_range: int) -> np.ndarray:
+    """``np.lexsort((lo, hi))`` for non-negative index arrays: stable
+    order by ``hi`` then ``lo``, with ``lo < lo_range``.  Key build +
+    radix argsort run natively (see native.cpp ``lexsort_i64_pair``)."""
+    hi = np.ascontiguousarray(hi, np.int64)
+    lo = np.ascontiguousarray(lo, np.int64)
+    n = hi.shape[0]
+    perm = np.empty(n, np.int64)
+    lib.lexsort_i64_pair.restype = None
+    lib.lexsort_i64_pair(
+        _p(hi), _p(lo), ctypes.c_int64(n), ctypes.c_int64(lo_range),
+        _p(perm),
+    )
+    return perm
+
+
+def lexsort_pair_decode(
+    hi: np.ndarray, lo: np.ndarray, lo_range: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``lexsort_pair`` + the sorted arrays themselves: returns
+    ``(perm, hi[perm], lo[perm])`` with the sorted outputs decoded from
+    the sorted combined keys instead of random-gathered (native.cpp
+    ``lexsort_i64_pair_decode``)."""
+    hi = np.ascontiguousarray(hi, np.int64)
+    lo = np.ascontiguousarray(lo, np.int64)
+    n = hi.shape[0]
+    perm = np.empty(n, np.int64)
+    hi_out = np.empty(n, np.int64)
+    lo_out = np.empty(n, np.int64)
+    lib.lexsort_i64_pair_decode.restype = None
+    lib.lexsort_i64_pair_decode(
+        _p(hi), _p(lo), ctypes.c_int64(n), ctypes.c_int64(lo_range),
+        _p(perm), _p(hi_out), _p(lo_out),
+    )
+    return perm, hi_out, lo_out
+
+
+def sort_edges(
+    row: np.ndarray, col: np.ndarray, val: Optional[np.ndarray],
+    M: int, col_range: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical (row, col) sort with the value carried as the radix
+    payload (native.cpp sort_edges_*): returns sorted
+    ``(row, col, val_or_perm)``.  When ``val`` is None (or not f32/f64
+    1-D) the third output is the sort permutation instead.
+
+    Requires ``0 <= row < M``, ``0 <= col < col_range`` and
+    ``M * col_range`` to fit in uint64 (callers check)."""
+    row = np.ascontiguousarray(row, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    n = row.shape[0]
+    row_out = np.empty(n, np.int64)
+    col_out = np.empty(n, np.int64)
+    if val is not None and val.ndim == 1 and val.dtype in (
+        np.float32, np.float64
+    ):
+        val = np.ascontiguousarray(val)
+        val_out = np.empty(n, val.dtype)
+        fn = (lib.sort_edges_f32 if val.dtype == np.float32
+              else lib.sort_edges_f64)
+        fn.restype = None
+        fn(
+            _p(row), _p(col), _vp(val), ctypes.c_int64(n),
+            ctypes.c_int64(M), ctypes.c_int64(col_range),
+            _p(row_out), _p(col_out), _vp(val_out),
+        )
+        return row_out, col_out, val_out
+    perm = np.empty(n, np.int64)
+    lib.sort_edges_perm.restype = None
+    lib.sort_edges_perm(
+        _p(row), _p(col), ctypes.c_int64(n), ctypes.c_int64(M),
+        ctypes.c_int64(col_range), _p(row_out), _p(col_out), _p(perm),
+    )
+    return row_out, col_out, perm
+
+
+def _idx_pair(row: np.ndarray, col: np.ndarray):
+    """Common-dtype contiguous views + the native idx_dtype code."""
+    if row.dtype == np.int32 and col.dtype == np.int32:
+        code = 1
+    else:
+        code = 0
+        row = np.ascontiguousarray(row, np.int64)
+        col = np.ascontiguousarray(col, np.int64)
+    return np.ascontiguousarray(row), np.ascontiguousarray(col), code
+
+
+def _vp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def sorted_has_dup(row: np.ndarray, col: np.ndarray) -> bool:
+    """Any adjacent duplicate (row, col) pair in canonically sorted COO?
+    Early-exits at the first duplicate (native.cpp sorted_has_dup)."""
+    row, col, code = _idx_pair(row, col)
+    lib.sorted_has_dup.restype = ctypes.c_int64
+    return bool(lib.sorted_has_dup(
+        _vp(row), _vp(col), ctypes.c_int64(row.shape[0]),
+        ctypes.c_int64(code),
+    ))
+
+
+def coalesce_fill(
+    row: np.ndarray, col: np.ndarray, want_seg: bool = False
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Dedupe sorted COO in two native sweeps: returns
+    ``(row_out, col_out, starts, seg)`` where ``starts`` has length
+    ``nnz_out + 1`` (``starts[-1] == E``) and ``seg`` (when requested)
+    maps each input edge to its output slot.  Output index dtype follows
+    the inputs (int32 kept int32)."""
+    row, col, code = _idx_pair(row, col)
+    n = row.shape[0]
+    lib.coalesce_count.restype = ctypes.c_int64
+    m = int(lib.coalesce_count(
+        _vp(row), _vp(col), ctypes.c_int64(n), ctypes.c_int64(code)
+    ))
+    row_out = np.empty(m, row.dtype)
+    col_out = np.empty(m, col.dtype)
+    starts = np.empty(m + 1, np.int64)
+    seg = np.empty(n, row.dtype) if want_seg else None
+    lib.coalesce_fill.restype = None
+    lib.coalesce_fill(
+        _vp(row), _vp(col), ctypes.c_int64(n), ctypes.c_int64(code),
+        _vp(row_out), _vp(col_out), _p(starts),
+        None if seg is None else _vp(seg),
+    )
+    return row_out, col_out, starts, seg
+
+
+def segment_reduce_val(
+    val: np.ndarray, starts: np.ndarray, mode: str
+) -> np.ndarray:
+    """Per-segment reduce of edge-sorted values; f32/f64, any trailing
+    feature shape (flattened to K).  mode in sum/add/mean/min/max; mean
+    accumulates in float64 like the numpy host path."""
+    code = {"sum": 0, "add": 0, "mean": 1, "min": 2, "max": 3}[mode]
+    dt = 1 if val.dtype == np.float32 else 2
+    assert val.dtype in (np.float32, np.float64)
+    val = np.ascontiguousarray(val)
+    n = val.shape[0]
+    K = int(np.prod(val.shape[1:], dtype=np.int64)) if val.ndim > 1 else 1
+    m = starts.shape[0] - 1
+    out = np.empty((m,) + val.shape[1:], val.dtype)
+    starts = np.ascontiguousarray(starts, np.int64)
+    lib.segment_reduce_val.restype = None
+    lib.segment_reduce_val(
+        _vp(val), ctypes.c_int64(K), ctypes.c_int64(dt), _p(starts),
+        ctypes.c_int64(m), ctypes.c_int64(code), _vp(out),
+    )
+    return out

@@ -1527,6 +1527,369 @@ void spgemm_fill_impl(const int64_t *rowptrA, const int64_t *colA,
 
 constexpr int64_t kI32Max = 2147483647;
 
+// ---------------------------------------------------------------------
+// radix_argsort_u64: stable LSD radix argsort over uint64 keys.
+//
+// Host-side replacement for np.lexsort/np.argsort on the hot index
+// paths (construction sort, csr2csc, hybrid build, partition cluster
+// sort).  The reference accelerates the same sort with
+// pyg_lib.ops.index_sort falling back to torch sort
+// (torch_sparse/utils.py:14-21); here the combined (row*N+col) key is
+// sorted with 11-bit-digit LSD passes over only the significant bits
+// (2048 scatter regions keep the pass cache-resident: measured 1.4x
+// over 16-bit digits at 20M keys and 1.8x at 60M on this host),
+// OpenMP-parallel with per-thread histograms laid out bucket-major /
+// thread-minor so the chunked scatter preserves stability.  Identical
+// output to np.lexsort on any input (both are stable).
+// ---------------------------------------------------------------------
+template <typename IdxT>
+void radix_argsort_impl(const uint64_t *keys, int64_t n, uint64_t key_max,
+                        int64_t *perm, uint64_t *keys_out = nullptr) {
+  constexpr int RB = 11;
+  constexpr int64_t NB = (int64_t)1 << RB;
+  constexpr uint64_t MASK = (uint64_t)NB - 1;
+  int bits = 0;
+  while (bits < 64 && (key_max >> bits)) bits++;
+  const int npasses = (bits + RB - 1) / RB;
+  if (npasses == 0) {
+    for (int64_t i = 0; i < n; i++) perm[i] = i;
+    if (keys_out) std::memcpy(keys_out, keys, (size_t)n * sizeof(uint64_t));
+    return;
+  }
+
+  int T = 1;
+#ifdef _OPENMP
+  T = omp_get_max_threads();
+#endif
+  if (T > n) T = 1;
+
+  // Ping-pong buffers.  Keys ride along so each pass re-extracts its
+  // digit from a contiguous stream; the final pass writes perm only,
+  // so a 1-pass sort needs no scratch and a 2-pass sort one pair.
+  std::vector<uint64_t> ka(npasses > 1 ? (size_t)n : 0),
+      kb(npasses > 2 ? (size_t)n : 0);
+  std::vector<IdxT> ia(npasses > 1 ? (size_t)n : 0),
+      ib(npasses > 2 ? (size_t)n : 0);
+  std::vector<int64_t> hist((size_t)T * NB);
+
+  uint64_t *kbufs[2] = {ka.data(), kb.empty() ? nullptr : kb.data()};
+  IdxT *ibufs[2] = {ia.data(), ib.empty() ? nullptr : ib.data()};
+  const uint64_t *kin = keys;
+  const IdxT *iin = nullptr;  // pass 0: identity
+  int cur = 0;
+
+  for (int p = 0; p < npasses; p++) {
+    const int shift = p * RB;
+    const bool last = (p == npasses - 1);
+#pragma omp parallel num_threads(T)
+    {
+#ifdef _OPENMP
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t *h = &hist[(size_t)t * NB];
+      std::memset(h, 0, NB * sizeof(int64_t));
+      const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      for (int64_t i = lo; i < hi; i++) h[(kin[i] >> shift) & MASK]++;
+    }
+    // Exclusive scan, bucket-major / thread-minor: thread t's chunk of
+    // bucket b lands after all smaller buckets and after earlier
+    // threads' chunks of b — chunked scatter stays stable.
+    int64_t sum = 0;
+    bool uniform = false;
+    for (int64_t b = 0; b < NB && !uniform; b++) {
+      int64_t btot = 0;
+      for (int t = 0; t < T; t++) btot += hist[(size_t)t * NB + b];
+      if (btot == n) uniform = true;  // single digit value: skip pass
+      for (int t = 0; t < T; t++) {
+        int64_t c = hist[(size_t)t * NB + b];
+        hist[(size_t)t * NB + b] = sum;
+        sum += c;
+      }
+    }
+    if (uniform) {
+      if (last) {
+        if (iin == nullptr)
+          for (int64_t i = 0; i < n; i++) perm[i] = i;
+        else
+          for (int64_t i = 0; i < n; i++) perm[i] = (int64_t)iin[i];
+        if (keys_out && keys_out != kin)
+          std::memcpy(keys_out, kin, (size_t)n * sizeof(uint64_t));
+        return;
+      }
+      continue;  // kin/iin unchanged
+    }
+#pragma omp parallel num_threads(T)
+    {
+#ifdef _OPENMP
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t *h = &hist[(size_t)t * NB];
+      const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      if (last) {
+        if (keys_out) {
+          for (int64_t i = lo; i < hi; i++) {
+            const int64_t pos = h[(kin[i] >> shift) & MASK]++;
+            perm[pos] = iin ? (int64_t)iin[i] : i;
+            keys_out[pos] = kin[i];
+          }
+        } else {
+          for (int64_t i = lo; i < hi; i++) {
+            const int64_t pos = h[(kin[i] >> shift) & MASK]++;
+            perm[pos] = iin ? (int64_t)iin[i] : i;
+          }
+        }
+      } else {
+        uint64_t *kout = kbufs[cur];
+        IdxT *iout = ibufs[cur];
+        for (int64_t i = lo; i < hi; i++) {
+          const int64_t pos = h[(kin[i] >> shift) & MASK]++;
+          kout[pos] = kin[i];
+          iout[pos] = iin ? iin[i] : (IdxT)i;
+        }
+      }
+    }
+    if (!last) {
+      kin = kbufs[cur];
+      iin = ibufs[cur];
+      cur ^= 1;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
+// sort_edges: radix sort of (row*R + col) keys CARRYING the edge value
+// as the scatter payload, with sorted row/col decoded from the sorted
+// keys.  Versus argsort + gathers this removes (a) the perm output
+// stream, (b) the random value gather val[perm] (memory-latency-bound,
+// ~9 s at 160M f32 on this host), and (c) the separate key-build pass
+// (keys are computed on the fly inside pass 0).  The (key, payload)
+// pairs scatter as one interleaved 16-byte stream — one active cache
+// line per radix bucket instead of two.
+// ---------------------------------------------------------------------
+template <typename P>
+struct KVPair {
+  uint64_t k;
+  P v;
+};
+
+template <typename P>
+void sort_edges_impl(const int64_t *row, const int64_t *col, const P *val,
+                     int64_t n, uint64_t R, uint64_t key_max,
+                     int64_t *row_out, int64_t *col_out, P *val_out) {
+  using KV = KVPair<P>;
+  constexpr int RB = 11;
+  constexpr int64_t NB = (int64_t)1 << RB;
+  constexpr uint64_t MASK = (uint64_t)NB - 1;
+  int bits = 0;
+  while (bits < 64 && (key_max >> bits)) bits++;
+  const int npasses = std::max((bits + RB - 1) / RB, 1);
+
+  int T = 1;
+#ifdef _OPENMP
+  T = omp_get_max_threads();
+#endif
+  if (T > n) T = 1;
+
+  std::vector<KV> ba((size_t)n), bb(npasses > 1 ? (size_t)n : 0);
+  std::vector<int64_t> hist((size_t)T * NB);
+  KV *bufs[2] = {ba.data(), bb.empty() ? nullptr : bb.data()};
+  const KV *kin = nullptr;  // pass 0 streams row/col/val directly
+  int cur = 0;
+
+  for (int p = 0; p < npasses; p++) {
+    const int shift = p * RB;
+#pragma omp parallel num_threads(T)
+    {
+#ifdef _OPENMP
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t *h = &hist[(size_t)t * NB];
+      std::memset(h, 0, NB * sizeof(int64_t));
+      const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      if (kin == nullptr) {
+        for (int64_t i = lo; i < hi; i++) {
+          const uint64_t k = (uint64_t)row[i] * R + (uint64_t)col[i];
+          h[(k >> shift) & MASK]++;
+        }
+      } else {
+        for (int64_t i = lo; i < hi; i++) h[(kin[i].k >> shift) & MASK]++;
+      }
+    }
+    int64_t sum = 0;
+    bool uniform = false;
+    for (int64_t b = 0; b < NB && !uniform; b++) {
+      int64_t btot = 0;
+      for (int t = 0; t < T; t++) btot += hist[(size_t)t * NB + b];
+      if (btot == n) uniform = true;
+      for (int t = 0; t < T; t++) {
+        int64_t c = hist[(size_t)t * NB + b];
+        hist[(size_t)t * NB + b] = sum;
+        sum += c;
+      }
+    }
+    if (uniform && kin != nullptr) continue;  // buffer already holds order
+#pragma omp parallel num_threads(T)
+    {
+#ifdef _OPENMP
+      const int t = omp_get_thread_num();
+#else
+      const int t = 0;
+#endif
+      int64_t *h = &hist[(size_t)t * NB];
+      const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      KV *out = bufs[cur];
+      if (kin == nullptr) {
+        for (int64_t i = lo; i < hi; i++) {
+          const uint64_t k = (uint64_t)row[i] * R + (uint64_t)col[i];
+          const int64_t pos = h[(k >> shift) & MASK]++;
+          out[pos].k = k;
+          out[pos].v = val ? val[i] : (P)i;
+        }
+      } else {
+        for (int64_t i = lo; i < hi; i++) {
+          const int64_t pos = h[(kin[i].k >> shift) & MASK]++;
+          out[pos] = kin[i];
+        }
+      }
+    }
+    kin = bufs[cur];
+    cur ^= 1;
+    if (bufs[cur] == nullptr) cur ^= 1;  // single-pass: stay on ba
+  }
+
+  const KV *fin = kin;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t k = fin[i].k;
+    const uint64_t r = k / R;
+    row_out[i] = (int64_t)r;
+    col_out[i] = (int64_t)(k - r * R);
+    val_out[i] = fin[i].v;
+  }
+}
+
+// ---------------------------------------------------------------------
+// Fused host coalesce over canonically sorted COO (the analogue of the
+// reference's sort+scatter coalesce, torch_sparse/storage.py:436-466).
+// numpy expresses the same dedupe as keep-mask + boolean indexing +
+// flatnonzero + reduceat — five full-array passes, 40 s at 160M edges
+// on this host; these kernels do one count pass + one fill pass (+ one
+// reduce pass when values are f32/f64), each a single sequential sweep,
+// OpenMP-chunked with boundary-aligned output offsets.
+// ---------------------------------------------------------------------
+template <typename I>
+int64_t coalesce_count_impl(const I *row, const I *col, int64_t n) {
+  if (n == 0) return 0;
+  int64_t cnt = 1;
+#pragma omp parallel for reduction(+ : cnt)
+  for (int64_t i = 1; i < n; i++)
+    cnt += (row[i] != row[i - 1]) | (col[i] != col[i - 1]);
+  return cnt;
+}
+
+template <typename I>
+int64_t sorted_has_dup_impl(const I *row, const I *col, int64_t n) {
+  constexpr int64_t CH = 1 << 20;  // early-exit granularity
+  for (int64_t s = 1; s < n; s += CH) {
+    const int64_t e = std::min(n, s + CH);
+    int64_t dup = 0;
+    for (int64_t i = s; i < e; i++)
+      dup |= (row[i] == row[i - 1]) & (col[i] == col[i - 1]);
+    if (dup) return 1;
+  }
+  return 0;
+}
+
+template <typename I>
+void coalesce_fill_impl(const I *row, const I *col, int64_t n, I *row_out,
+                        I *col_out, int64_t *starts, I *seg) {
+  if (n == 0) {
+    starts[0] = 0;
+    return;
+  }
+  int T = 1;
+#ifdef _OPENMP
+  T = omp_get_max_threads();
+#endif
+  if (T > n) T = 1;
+  std::vector<int64_t> bcnt((size_t)T + 1, 0);
+#pragma omp parallel num_threads(T)
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+    int64_t c = 0;
+    for (int64_t i = lo; i < hi; i++)
+      c += (i == 0) || (row[i] != row[i - 1]) || (col[i] != col[i - 1]);
+    bcnt[t + 1] = c;
+  }
+  for (int t = 0; t < T; t++) bcnt[t + 1] += bcnt[t];
+#pragma omp parallel num_threads(T)
+  {
+#ifdef _OPENMP
+    const int t = omp_get_thread_num();
+#else
+    const int t = 0;
+#endif
+    const int64_t lo = n * t / T, hi = n * (t + 1) / T;
+    int64_t j = bcnt[t];
+    for (int64_t i = lo; i < hi; i++) {
+      if (i == 0 || row[i] != row[i - 1] || col[i] != col[i - 1]) {
+        row_out[j] = row[i];
+        col_out[j] = col[i];
+        starts[j] = i;
+        j++;
+      }
+      if (seg) seg[i] = (I)(j - 1);
+    }
+  }
+  starts[bcnt[T]] = n;
+}
+
+// Per-segment value reduce over edge-sorted values (n, K) -> (m, K).
+// mode: 0 sum (sequential in V, matching np.add.reduceat's left-to-right
+// order), 1 mean (f64 accumulate, cast at the end — matches the host
+// path's float64 reduceat-then-divide), 2 min, 3 max.
+template <typename V>
+void segment_reduce_val_impl(const V *val, int64_t K, const int64_t *starts,
+                             int64_t m, int64_t mode, V *out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t s = 0; s < m; s++) {
+    const int64_t a = starts[s], b = starts[s + 1];
+    V *o = out + s * K;
+    if (mode == 1) {
+      for (int64_t k = 0; k < K; k++) {
+        double acc = 0.0;
+        for (int64_t i = a; i < b; i++) acc += (double)val[i * K + k];
+        o[k] = (V)(acc / (double)(b - a));
+      }
+      continue;
+    }
+    for (int64_t k = 0; k < K; k++) o[k] = val[a * K + k];
+    if (mode == 0) {
+      for (int64_t i = a + 1; i < b; i++)
+        for (int64_t k = 0; k < K; k++) o[k] += val[i * K + k];
+    } else if (mode == 2) {
+      for (int64_t i = a + 1; i < b; i++)
+        for (int64_t k = 0; k < K; k++)
+          o[k] = std::min(o[k], val[i * K + k]);
+    } else {
+      for (int64_t i = a + 1; i < b; i++)
+        for (int64_t k = 0; k < K; k++)
+          o[k] = std::max(o[k], val[i * K + k]);
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -1556,6 +1919,184 @@ void spgemm_fill(const int64_t *rowptrA, const int64_t *colA,
                               row_lo, row_hi, rowptrC, colC, valC);
 }
 
-int64_t sparse_tpu_native_abi_version() { return 4; }
+// Fused two-key lexsort: perm = np.lexsort((lo, hi)) for non-negative
+// int64 arrays with lo < lo_range.  Builds the combined key natively
+// (numpy's uint64 multiply-add alone costs more than the whole radix
+// sort on this host) and argsorts it stably.
+void lexsort_i64_pair(const int64_t *hi, const int64_t *lo, int64_t n,
+                      int64_t lo_range, int64_t *perm) {
+  if (n <= 0) return;
+  std::vector<uint64_t> keys((size_t)n);
+  uint64_t kmax = 0;
+#pragma omp parallel for reduction(max : kmax)
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t k =
+        (uint64_t)hi[i] * (uint64_t)lo_range + (uint64_t)lo[i];
+    keys[i] = k;
+    kmax = std::max(kmax, k);
+  }
+  if (n < (1 << 15)) {
+    for (int64_t i = 0; i < n; i++) perm[i] = i;
+    const uint64_t *kp = keys.data();
+    std::stable_sort(perm, perm + n, [kp](int64_t a, int64_t b) {
+      return kp[a] < kp[b];
+    });
+    return;
+  }
+  if (n <= kI32Max)
+    radix_argsort_impl<uint32_t>(keys.data(), n, kmax, perm);
+  else
+    radix_argsort_impl<int64_t>(keys.data(), n, kmax, perm);
+}
+
+void radix_argsort_u64(const uint64_t *keys, int64_t n, int64_t *perm) {
+  if (n <= 0) return;
+  if (n < (1 << 15)) {
+    // Histogram setup dominates below ~32K elements; a comparison sort
+    // on (key, original index) pairs is faster and equally stable.
+    for (int64_t i = 0; i < n; i++) perm[i] = i;
+    std::stable_sort(perm, perm + n, [keys](int64_t a, int64_t b) {
+      return keys[a] < keys[b];
+    });
+    return;
+  }
+  uint64_t kmax = 0;
+#pragma omp parallel for reduction(max : kmax)
+  for (int64_t i = 0; i < n; i++) kmax = std::max(kmax, keys[i]);
+  if (n <= kI32Max)
+    radix_argsort_impl<uint32_t>(keys, n, kmax, perm);
+  else
+    radix_argsort_impl<int64_t>(keys, n, kmax, perm);
+}
+
+// lexsort_i64_pair + decode: the construction sort's output row/col are
+// recovered from the SORTED keys (hi = key / lo_range, lo = key % lo_range)
+// instead of gathering hi[perm]/lo[perm] — the random gathers are
+// memory-latency-bound (~16 s each at 160M edges on this host); the
+// decode is one sequential sweep (~1.5 s).  perm is still produced for
+// the value permutation.
+void lexsort_i64_pair_decode(const int64_t *hi, const int64_t *lo, int64_t n,
+                             int64_t lo_range, int64_t *perm,
+                             int64_t *hi_out, int64_t *lo_out) {
+  if (n <= 0) return;
+  std::vector<uint64_t> keys((size_t)n);
+  uint64_t kmax = 0;
+#pragma omp parallel for reduction(max : kmax)
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t k =
+        (uint64_t)hi[i] * (uint64_t)lo_range + (uint64_t)lo[i];
+    keys[i] = k;
+    kmax = std::max(kmax, k);
+  }
+  if (n < (1 << 15)) {
+    for (int64_t i = 0; i < n; i++) perm[i] = i;
+    const uint64_t *kp = keys.data();
+    std::stable_sort(perm, perm + n, [kp](int64_t a, int64_t b) {
+      return kp[a] < kp[b];
+    });
+    for (int64_t i = 0; i < n; i++) {
+      const uint64_t k = keys[(size_t)perm[i]];
+      hi_out[i] = (int64_t)(k / (uint64_t)lo_range);
+      lo_out[i] = (int64_t)(k % (uint64_t)lo_range);
+    }
+    return;
+  }
+  std::vector<uint64_t> keys_sorted((size_t)n);
+  if (n <= kI32Max)
+    radix_argsort_impl<uint32_t>(keys.data(), n, kmax, perm,
+                                 keys_sorted.data());
+  else
+    radix_argsort_impl<int64_t>(keys.data(), n, kmax, perm,
+                                keys_sorted.data());
+  keys.clear();
+  keys.shrink_to_fit();
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t k = keys_sorted[(size_t)i];
+    const uint64_t h = k / (uint64_t)lo_range;
+    hi_out[i] = (int64_t)h;
+    lo_out[i] = (int64_t)(k - h * (uint64_t)lo_range);
+  }
+}
+
+// sort_edges: canonical (row, col) sort carrying the value as radix
+// payload; row/col decoded from the sorted keys, no perm produced.
+// key_max = (uint64)M * col_range - 1 must fit uint64 (caller checks).
+void sort_edges_f32(const int64_t *row, const int64_t *col, const float *val,
+                    int64_t n, int64_t M, int64_t col_range,
+                    int64_t *row_out, int64_t *col_out, float *val_out) {
+  if (n <= 0) return;
+  sort_edges_impl<float>(row, col, val, n, (uint64_t)col_range,
+                         (uint64_t)M * (uint64_t)col_range - 1, row_out,
+                         col_out, val_out);
+}
+
+void sort_edges_f64(const int64_t *row, const int64_t *col,
+                    const double *val, int64_t n, int64_t M,
+                    int64_t col_range, int64_t *row_out, int64_t *col_out,
+                    double *val_out) {
+  if (n <= 0) return;
+  sort_edges_impl<double>(row, col, val, n, (uint64_t)col_range,
+                          (uint64_t)M * (uint64_t)col_range - 1, row_out,
+                          col_out, val_out);
+}
+
+// Payload = original edge index (argsort form of sort_edges, for value
+// dtypes the f32/f64 entries don't cover).
+void sort_edges_perm(const int64_t *row, const int64_t *col, int64_t n,
+                     int64_t M, int64_t col_range, int64_t *row_out,
+                     int64_t *col_out, int64_t *perm_out) {
+  if (n <= 0) return;
+  sort_edges_impl<int64_t>(row, col, nullptr, n, (uint64_t)col_range,
+                           (uint64_t)M * (uint64_t)col_range - 1, row_out,
+                           col_out, perm_out);
+}
+
+// Coalesce family over canonically sorted COO.  idx_dtype: 0 = int64,
+// 1 = int32 (row/col/row_out/col_out/seg all share it).
+int64_t coalesce_count(const void *row, const void *col, int64_t n,
+                       int64_t idx_dtype) {
+  return idx_dtype == 0
+             ? coalesce_count_impl((const int64_t *)row, (const int64_t *)col,
+                                   n)
+             : coalesce_count_impl((const int32_t *)row, (const int32_t *)col,
+                                   n);
+}
+
+int64_t sorted_has_dup(const void *row, const void *col, int64_t n,
+                       int64_t idx_dtype) {
+  return idx_dtype == 0
+             ? sorted_has_dup_impl((const int64_t *)row, (const int64_t *)col,
+                                   n)
+             : sorted_has_dup_impl((const int32_t *)row, (const int32_t *)col,
+                                   n);
+}
+
+void coalesce_fill(const void *row, const void *col, int64_t n,
+                   int64_t idx_dtype, void *row_out, void *col_out,
+                   int64_t *starts, void *seg) {
+  if (idx_dtype == 0)
+    coalesce_fill_impl((const int64_t *)row, (const int64_t *)col, n,
+                       (int64_t *)row_out, (int64_t *)col_out, starts,
+                       (int64_t *)seg);
+  else
+    coalesce_fill_impl((const int32_t *)row, (const int32_t *)col, n,
+                       (int32_t *)row_out, (int32_t *)col_out, starts,
+                       (int32_t *)seg);
+}
+
+// val_dtype: 1 = float32, 2 = float64.  mode: 0 sum, 1 mean, 2 min, 3 max.
+void segment_reduce_val(const void *val, int64_t K, int64_t val_dtype,
+                        const int64_t *starts, int64_t m, int64_t mode,
+                        void *val_out) {
+  if (val_dtype == 1)
+    segment_reduce_val_impl((const float *)val, K, starts, m, mode,
+                            (float *)val_out);
+  else
+    segment_reduce_val_impl((const double *)val, K, starts, m, mode,
+                            (double *)val_out);
+}
+
+int64_t sparse_tpu_native_abi_version() { return 6; }
 
 }  // extern "C"

@@ -142,6 +142,58 @@ void hgt_sample(int64_t n_types, int64_t n_rels, int64_t num_hops,
 // rowptrC (row_hi-row_lo+1 entries) and returns nnzC; spgemm_fill writes
 // colC (ascending per row) and valC. valA/valB/valC may be NULL
 // (implicit-ones values / structure-only).
+// Stable LSD radix argsort of non-negative uint64 keys (perm such that
+// keys[perm] is ascending, ties in original order).
+void radix_argsort_u64(const uint64_t *keys, int64_t n, int64_t *perm);
+
+// perm = np.lexsort((lo, hi)) for non-negative int64 arrays with
+// lo < lo_range (stable order by hi, ties by lo).
+void lexsort_i64_pair(const int64_t *hi, const int64_t *lo, int64_t n,
+                      int64_t lo_range, int64_t *perm);
+
+// lexsort_i64_pair + sorted outputs decoded from the sorted combined
+// keys (hi_out[i] = hi[perm[i]], lo_out[i] = lo[perm[i]] without the
+// random gathers).
+void lexsort_i64_pair_decode(const int64_t *hi, const int64_t *lo, int64_t n,
+                             int64_t lo_range, int64_t *perm,
+                             int64_t *hi_out, int64_t *lo_out);
+
+// Canonical (row, col) edge sort carrying the value as the radix
+// payload: writes row/col in sorted order (decoded from the sorted
+// combined keys) and the value permuted alongside; no perm produced.
+// Requires 0 <= row < M, 0 <= col < col_range, and M * col_range - 1
+// to fit uint64.  sort_edges_perm instead carries the original edge
+// index (for value dtypes the f32/f64 entries don't cover).
+void sort_edges_f32(const int64_t *row, const int64_t *col, const float *val,
+                    int64_t n, int64_t M, int64_t col_range,
+                    int64_t *row_out, int64_t *col_out, float *val_out);
+void sort_edges_f64(const int64_t *row, const int64_t *col,
+                    const double *val, int64_t n, int64_t M,
+                    int64_t col_range, int64_t *row_out, int64_t *col_out,
+                    double *val_out);
+void sort_edges_perm(const int64_t *row, const int64_t *col, int64_t n,
+                     int64_t M, int64_t col_range, int64_t *row_out,
+                     int64_t *col_out, int64_t *perm_out);
+
+// Coalesce family over canonically (row, col)-sorted COO.
+// idx_dtype: 0 = int64, 1 = int32 (applies to row/col/row_out/col_out/seg).
+int64_t sorted_has_dup(const void *row, const void *col, int64_t n,
+                       int64_t idx_dtype);
+int64_t coalesce_count(const void *row, const void *col, int64_t n,
+                       int64_t idx_dtype);
+// row_out/col_out: length coalesce_count(...); starts: that length + 1
+// (starts[m] = n); seg (optional, may be NULL): per-input-edge output
+// segment id, length n.
+void coalesce_fill(const void *row, const void *col, int64_t n,
+                   int64_t idx_dtype, void *row_out, void *col_out,
+                   int64_t *starts, void *seg);
+// Per-segment reduce of edge-sorted values (n, K) -> (m, K).
+// val_dtype: 1 = float32, 2 = float64; mode: 0 sum, 1 mean (f64
+// accumulation), 2 min, 3 max.
+void segment_reduce_val(const void *val, int64_t K, int64_t val_dtype,
+                        const int64_t *starts, int64_t m, int64_t mode,
+                        void *val_out);
+
 int64_t spgemm_nnz(const int64_t *rowptrA, const int64_t *colA,
                    const int64_t *rowptrB, const int64_t *colB, int64_t P,
                    int64_t row_lo, int64_t row_hi, int64_t *rowptrC);

@@ -16,6 +16,7 @@ import numpy as np
 
 from ..storage import SparseStorage, get_layout
 from ..tensor import SparseTensor
+from ..utils.host_sort import lexsort2
 
 
 def index_select(src: SparseTensor, dim: int, idx) -> SparseTensor:
@@ -65,7 +66,7 @@ def index_select(src: SparseTensor, dim: int, idx) -> SparseTensor:
         perm = np.arange(E_new) + (old_colptr[idx] - colptr[:-1])[col]
 
         row = row_csc[perm]
-        csc2csr = np.lexsort((col, row))
+        csc2csr = lexsort2(row, col)
 
         new_value: Optional[jnp.ndarray] = None
         if value is not None:

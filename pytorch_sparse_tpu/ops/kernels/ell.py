@@ -28,6 +28,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ...utils.host_sort import stable_argsort
 
 # Per-edge unrolled gather-add chains fuse well up to this bucket width;
 # wider buckets use the 2-D-index gather + sum formulation.
@@ -173,7 +174,7 @@ def build_ell(
     deg = ptr[1:] - ptr[:-1]
     caps = _choose_caps(deg) if M > 0 else []
 
-    order = np.argsort(deg, kind="stable")
+    order = stable_argsort(deg)
     # Drop zero-degree rows from buckets; they become the zero block.
     nz_order = order[deg[order] > 0]
     n_zero = M - nz_order.shape[0]

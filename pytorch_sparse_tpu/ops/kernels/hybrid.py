@@ -59,6 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ell import EllFormat, build_ell, ell_spmm
+from ...utils.host_sort import lexsort2, stable_argsort
 
 
 class HybridFormat:
@@ -208,7 +209,7 @@ def build_hybrid(
 
     # Transpose tables: the same (slot, row-block) terms grouped by
     # col-block, backing grad_mat = A^T @ grad.
-    order_t = np.argsort(col_of_key, kind="stable")
+    order_t = stable_argsort(col_of_key)
     starts_t = np.searchsorted(col_of_key[order_t], np.arange(C + 1))
     key_counts_t = np.diff(starts_t)
     Wt = max(int(key_counts_t.max()) if C else 1, 1)
@@ -228,13 +229,13 @@ def build_hybrid(
     ell_t = None
     rest_ids = None
     if rest.size:
-        order = np.argsort(row[rest], kind="stable")
+        order = stable_argsort(row[rest])
         rr = rest[order]
         rows_r, cols_r = row[rr], col[rr]
         rptr = np.searchsorted(rows_r, np.arange(M + 1))
         ell = build_ell(rptr, cols_r, None, M)
         ell = (ell, jnp.asarray(val[rr]))
-        csc_perm = np.lexsort((rows_r, cols_r))
+        csc_perm = lexsort2(cols_r, rows_r)
         cptr = np.searchsorted(cols_r[csc_perm], np.arange(N + 1))
         ell_t = build_ell(cptr, rows_r[csc_perm], csc_perm, N)
         rest_ids = jnp.asarray(rr.astype(np.int32 if E < 2**31

@@ -9,6 +9,7 @@ import numpy as np
 
 from ..storage import SparseStorage, get_layout
 from ..tensor import SparseTensor
+from ..utils.host_sort import lexsort2
 
 
 def masked_select(src: SparseTensor, dim: int, mask) -> SparseTensor:
@@ -52,7 +53,7 @@ def masked_select(src: SparseTensor, dim: int, mask) -> SparseTensor:
             np.arange(colcount.shape[0], dtype=np.int32), colcount
         )
         new_row = row_csc[edge_mask]
-        csc2csr = np.lexsort((new_col, new_row))
+        csc2csr = lexsort2(new_row, new_col)
 
         value_out: Optional[jnp.ndarray] = None
         if value is not None:

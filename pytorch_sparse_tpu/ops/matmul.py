@@ -41,6 +41,7 @@ from .kernels.ell import (
 )
 from .kernels.hybrid import hybrid_spmm, hybrid_spmm_t
 from .segment import segment_count, segment_mean, segment_min, segment_max, segment_sum
+from ..utils.host_sort import stable_argsort
 
 
 def _int_zero(x):
@@ -521,10 +522,10 @@ def _spspmm_structure(A: SparseTensor, B: SparseTensor, e_lo: int = 0,
             if e < total:  # extend to the next complete-row boundary
                 ip = np.searchsorted(row_change, e)
                 e = int(row_change[ip]) if ip < row_change.size else total
-            order[s:e] = s + np.argsort(key[s:e], kind="stable")
+            order[s:e] = s + stable_argsort(key[s:e])
             s = e
     else:
-        order = np.argsort(key, kind="stable")
+        order = stable_argsort(key)
     out_row, out_col = out_row[order], out_col[order]
     a_pos, b_pos = a_pos[order], b_pos[order]
     if total > 0:

@@ -51,6 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..tensor import SparseTensor
 from .mesh import data_axis, feat_axis
+from ..utils.host_sort import stable_argsort
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -109,7 +110,7 @@ def _build_group_ell(
     sel_rows = []  # per group, per bucket: row ids
     for g in range(G):
         d = degs[g]
-        rows_by_deg = np.argsort(d, kind="stable")
+        rows_by_deg = stable_argsort(d)
         per_bucket = []
         for bi, cap in enumerate(caps):
             lo = caps[bi - 1] if bi > 0 else 0
@@ -130,7 +131,7 @@ def _build_group_ell(
     for g, grp in enumerate(groups):
         r, c, v = grp[0], grp[1], grp[2]
         e = grp[3] if len(grp) > 3 else np.zeros(r.shape[0], np.int64)
-        order = np.argsort(r, kind="stable")
+        order = stable_argsort(r)
         r_s, c_s, v_s, e_s = r[order], c[order], v[order], e[order]
         starts = np.zeros(Mb + 1, np.int64)
         np.add.at(starts, r_s + 1, 1)

@@ -27,6 +27,7 @@ import numpy as np
 from ..ops.permute import permute
 from ..tensor import SparseTensor
 from ..utils.convert import INDEX_DTYPE, ind2ptr
+from ..utils.host_sort import stable_argsort
 
 
 def _weight2metis_np(weight) -> Optional[np.ndarray]:
@@ -220,7 +221,7 @@ def partition(
     # host views; a device argsort here is an eager per-shape compile;
     # numpy-cast before the transfer so no device cast ever runs).
     np_index = np.dtype(INDEX_DTYPE)
-    perm_np = np.argsort(cluster, kind="stable")
+    perm_np = stable_argsort(cluster)
     out = permute(src, perm_np)
     partptr_np = np.searchsorted(
         cluster[perm_np], np.arange(num_parts + 1)

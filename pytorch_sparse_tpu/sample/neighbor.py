@@ -23,6 +23,7 @@ import numpy as np
 
 from ..utils.convert import INDEX_DTYPE, to_index_array
 from ._common import Seed, as_generator, sample_per_row
+from ..utils.host_sort import stable_argsort
 
 
 def _as_np(x):
@@ -101,7 +102,7 @@ def _sample_frontier(starts, counts, num, replace, rng):
     rix = np.concatenate(rix_parts)
     offs = np.concatenate(off_parts)
     # Regroup by frontier row (stable: full rows keep offset order).
-    order = np.argsort(rix, kind="stable")
+    order = stable_argsort(rix)
     return rix[order], offs[order]
 
 

@@ -11,6 +11,7 @@ import numpy as np
 
 from ..tensor import SparseTensor
 from ..utils.convert import INDEX_DTYPE, to_index_array
+from ..utils.host_sort import lexsort2
 
 
 def saint_subgraph(
@@ -36,7 +37,7 @@ def saint_subgraph(
         new_row = assoc[row[e_id]]
         new_col = assoc[col[e_id]]
 
-    order = np.lexsort((new_col, new_row))
+    order = lexsort2(new_row, new_col)
     new_row, new_col, e_id = new_row[order], new_col[order], e_id[order]
 
     value = src.storage.value()

@@ -17,6 +17,7 @@ import numpy as np
 from ..tensor import SparseTensor
 from ..utils.convert import INDEX_DTYPE, to_index_array
 from ._common import Seed, as_generator, first_seen_relabel, sample_per_row
+from ..utils.host_sort import lexsort2
 
 
 def sample(
@@ -72,7 +73,7 @@ def sample_adj(
         n_id, local_col = first_seen_relabel(sampled_cols, subset_np)
 
         # Per-row sort by local col id (cpu/sample_cpu.cpp:125-137).
-        order = np.lexsort((local_col, owner))
+        order = lexsort2(owner, local_col)
         owner, local_col, e_id = owner[order], local_col[order], e_id[order]
 
         out_rowptr = np.zeros(subset_np.shape[0] + 1, np.int64)

@@ -35,9 +35,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .csrc import bindings as _bindings
 from .segment import segment_reduce, segment_count
 from .utils.convert import INDEX_DTYPE, ind2ptr, ptr2ind
+from .utils.host_sort import lexsort2, lexsort2_decode
 from .utils.index_sort import lexsort_rows
+
+# Below this edge count the numpy coalesce path wins (ctypes overhead).
+_NATIVE_COALESCE_MIN = 32768
 
 layouts = ["coo", "csr", "csc"]
 
@@ -58,20 +63,26 @@ def _as_index(x) -> jnp.ndarray:
     return x
 
 
-def _host_int64(x) -> Optional[np.ndarray]:
-    """Host int64 copy when ``x`` is host-resident already, else None.
+def _host_int64(x) -> Tuple[Optional[np.ndarray], bool]:
+    """``(host int64 view-or-copy, owned)`` when ``x`` is host-resident,
+    else ``(None, False)``.
 
     Device arrays return None on purpose: the remote-TPU tunnel pulls
     device->host at ~35 MB/s (vs ~1 GB/s host->device), so host-side
     fast paths only activate for data that never left the host.
-    Always a fresh copy — the cache must not alias caller-owned memory
-    the caller may mutate after construction.
+    ``owned=False`` means the array aliases caller memory: it may be
+    READ freely during construction (probe/sort/validation) but must be
+    defensively copied before being retained in the host-view cache
+    (full-array copies cost seconds at 100M+ edges on this host, so the
+    copy is deferred until a cache seed actually retains the array —
+    the sort path replaces it with a fresh array anyway).
     """
     if isinstance(x, np.ndarray):
-        return np.array(x, dtype=np.int64, copy=True, order="C")
+        arr = np.ascontiguousarray(x, dtype=np.int64)
+        return arr, arr is not x and arr.base is not x
     if isinstance(x, (list, tuple)):
-        return np.asarray(x, dtype=np.int64)
-    return None
+        return np.asarray(x, dtype=np.int64), True
+    return None, False
 
 
 def get_layout(layout: Optional[str] = None) -> str:
@@ -125,6 +136,7 @@ class SparseStorage:
         csc2csr: Optional[jnp.ndarray] = None,
         is_sorted: bool = False,
         trust_data: bool = False,
+        _host_data_owned: bool = False,
     ):
         assert row is not None or rowptr is not None
         assert col is not None
@@ -132,8 +144,13 @@ class SparseStorage:
         # and derived-view builds — one eager device op per new shape
         # costs a full remote compile on the TPU tunnel, and pulling
         # arrays back from the device is ~30x slower than pushing.
-        host_row, host_col = _host_int64(row), _host_int64(col)
-        host_rowptr = _host_int64(rowptr)
+        host_row, row_owned = _host_int64(row)
+        host_col, col_owned = _host_int64(col)
+        host_rowptr, rowptr_owned = _host_int64(rowptr)
+        if _host_data_owned:
+            # Internal rebuild (coalesce, select, ...): the caller hands
+            # over freshly built arrays — no defensive copy needed.
+            row_owned = col_owned = rowptr_owned = True
         col = _as_index(col)
         assert col.ndim == 1
 
@@ -236,16 +253,46 @@ class SparseStorage:
                 else:
                     keys_sorted = True
                 if not keys_sorted:
-                    perm_np = np.lexsort((host_col, host_row))
-                    host_row = host_row[perm_np]
-                    host_col = host_col[perm_np]
+                    # Sorted row/col come decoded from the sorted radix
+                    # keys (no random gathers); 1-D f32/f64 host values
+                    # ride the sort as the radix payload (native.cpp
+                    # sort_edges_*) so no perm is materialized and no
+                    # random value gather runs.  `not trust_data`
+                    # guarantees the index bounds the key encoding needs
+                    # were validated above.
+                    val_np = value if isinstance(value, np.ndarray) else None
+                    if (
+                        _bindings.available()
+                        and not trust_data
+                        and host_row.shape[0] >= _NATIVE_COALESCE_MIN
+                        and 0 < N and 0 < M <= (1 << 64) // N
+                    ):
+                        carried = (
+                            val_np is not None and val_np.ndim == 1
+                            and val_np.dtype in (np.float32, np.float64)
+                        )
+                        host_row, host_col, third = _bindings.sort_edges(
+                            host_row, host_col,
+                            val_np if carried else None, M, N,
+                        )
+                        if carried:
+                            value = jnp.asarray(third)
+                        elif val_np is not None:
+                            value = jnp.asarray(val_np[third])
+                        elif value is not None:
+                            value = value[jnp.asarray(third)]
+                    else:
+                        perm_np, host_row, host_col = lexsort2_decode(
+                            host_row, host_col
+                        )
+                        if value is not None:
+                            if isinstance(value, np.ndarray):
+                                value = jnp.asarray(value[perm_np])
+                            else:
+                                value = value[jnp.asarray(perm_np)]
+                    row_owned = col_owned = True  # sort outputs are fresh
                     row = _as_index(host_row)
                     col = _as_index(host_col)
-                    if value is not None:
-                        if isinstance(value, np.ndarray):
-                            value = jnp.asarray(value[perm_np])
-                        else:
-                            value = value[jnp.asarray(perm_np)]
                     csr2csc = csc2csr = None
             else:
                 if row.shape[0] > 1:
@@ -292,11 +339,12 @@ class SparseStorage:
         # derived-view builds) skip the slow device->host pull.
         np_cache = {}
         if host_row is not None:
-            np_cache["row"] = host_row
+            np_cache["row"] = host_row if row_owned else host_row.copy()
         if host_col is not None:
-            np_cache["col"] = host_col
+            np_cache["col"] = host_col if col_owned else host_col.copy()
         if host_rowptr is not None:
-            np_cache["rowptr"] = host_rowptr
+            np_cache["rowptr"] = (host_rowptr if rowptr_owned
+                                  else host_rowptr.copy())
         if np_cache:
             self._np_cache = np_cache
 
@@ -571,7 +619,7 @@ class SparseStorage:
                 self.row()  # may host-build from rowptr and seed the cache
             hrow = self._np_cached("row")
             if hcol is not None and hrow is not None:
-                perm = np.lexsort((hrow, hcol))
+                perm = lexsort2(hcol, hrow)
                 self._np_seed("csr2csc", perm)
                 self._csr2csc = _as_index(perm)
             else:
@@ -766,6 +814,8 @@ class SparseStorage:
         if hrow is not None and hcol is not None:
             if hrow.shape[0] < 2:
                 return True
+            if _bindings.available() and hrow.shape[0] >= _NATIVE_COALESCE_MIN:
+                return not _bindings.sorted_has_dup(hrow, hcol)
             return not bool(np.any(
                 (hrow[1:] == hrow[:-1]) & (hcol[1:] == hcol[:-1])
             ))
@@ -818,56 +868,90 @@ class SparseStorage:
     def _coalesce_host(self, hrow: np.ndarray, hcol: np.ndarray,
                        reduce: str) -> "SparseStorage":
         """Dedupe on host arrays: no device round-trip for the indices,
-        numpy ``reduceat`` for host-sized values, device segment_reduce
-        (with a host-computed, pushed segment map) for big/traced ones."""
+        fused native sweeps (count/fill/reduce, csrc native.cpp) above
+        the crossover, numpy ``reduceat`` otherwise; device
+        segment_reduce (with a host-computed, pushed segment map) for
+        big/traced values."""
+        if reduce not in ("add", "sum", "mean", "min", "max"):
+            raise ValueError(f"Unknown reduce: {reduce!r}")
         E = hrow.shape[0]
         if E == 0:
             return self
-        keep = np.concatenate(
-            [[True], (hrow[1:] != hrow[:-1]) | (hcol[1:] != hcol[:-1])]
-        )
-        if keep.all():
-            return self
-        new_row = hrow[keep]
-        new_col = hcol[keep]
         value = self._value
+        # The pull budget guards the ~35 MB/s device->host tunnel; on a
+        # host (cpu) backend np.asarray(value) is a local copy, so any
+        # size may take the host reduce path.
+        pull_ok = value is not None and _is_concrete(value) and (
+            value.size * value.dtype.itemsize
+            <= self._COALESCE_PULL_MAX_BYTES
+            or (isinstance(value, jnp.ndarray)
+                and next(iter(value.devices())).platform == "cpu")
+        )
+        native = (
+            _bindings.available() and E >= _NATIVE_COALESCE_MIN
+            and hrow.dtype.kind in "iu" and hcol.dtype.kind in "iu"
+        )
+        if native:
+            # One early-exit dup probe, then two fused sweeps replace the
+            # five full-array numpy passes (keep mask / all / boolean
+            # index x2 / flatnonzero): 40 s -> ~4 s at 160M edges.
+            if not _bindings.sorted_has_dup(hrow, hcol):
+                return self
+            want_seg = value is not None and not pull_ok
+            new_row, new_col, starts, seg_np = _bindings.coalesce_fill(
+                hrow, hcol, want_seg=want_seg
+            )
+            starts_trunc = starts[:-1]
+        else:
+            keep = np.concatenate(
+                [[True], (hrow[1:] != hrow[:-1]) | (hcol[1:] != hcol[:-1])]
+            )
+            if keep.all():
+                return self
+            new_row = hrow[keep]
+            new_col = hcol[keep]
+            starts = None
+            starts_trunc = None
+            seg_np = None
+            if value is not None:
+                starts_trunc = np.flatnonzero(keep)
+                starts = np.concatenate([starts_trunc, [E]])
+                if not pull_ok:
+                    seg_np = (np.cumsum(keep) - 1).astype(
+                        np.int64 if E >= 2**31 else np.int32
+                    )
         new_value = None
         if value is not None:
-            starts = np.flatnonzero(keep)
-            pull_ok = (
-                _is_concrete(value)
-                and value.size * value.dtype.itemsize
-                <= self._COALESCE_PULL_MAX_BYTES
-            )
             if pull_ok:
                 v = np.asarray(value)
-                if reduce in ("add", "sum"):
-                    out = np.add.reduceat(v, starts, axis=0)
+                if (
+                    native
+                    and v.dtype in (np.float32, np.float64)
+                    and v.flags.c_contiguous
+                ):
+                    out = _bindings.segment_reduce_val(v, starts, reduce)
+                elif reduce in ("add", "sum"):
+                    out = np.add.reduceat(v, starts_trunc, axis=0)
                 elif reduce == "mean":
-                    cnt = np.diff(np.concatenate([starts, [E]]))
+                    cnt = np.diff(starts)
                     shape = (-1,) + (1,) * (v.ndim - 1)
-                    out = (np.add.reduceat(v.astype(np.float64), starts,
-                                           axis=0)
+                    out = (np.add.reduceat(v.astype(np.float64),
+                                           starts_trunc, axis=0)
                            / cnt.reshape(shape)).astype(v.dtype)
                 elif reduce == "min":
-                    out = np.minimum.reduceat(v, starts, axis=0)
-                elif reduce == "max":
-                    out = np.maximum.reduceat(v, starts, axis=0)
+                    out = np.minimum.reduceat(v, starts_trunc, axis=0)
                 else:
-                    raise ValueError(f"Unknown reduce: {reduce!r}")
+                    out = np.maximum.reduceat(v, starts_trunc, axis=0)
                 new_value = jnp.asarray(out)
             else:
-                seg = jnp.asarray(
-                    (np.cumsum(keep) - 1).astype(np.int64 if E >= 2**31
-                                                 else np.int32)
-                )
                 new_value = segment_reduce(
-                    value, seg, int(new_row.shape[0]), reduce=reduce,
-                    indices_are_sorted=True,
+                    value, jnp.asarray(seg_np), int(new_row.shape[0]),
+                    reduce=reduce, indices_are_sorted=True,
                 )
         return SparseStorage(
             row=new_row, rowptr=None, col=new_col, value=new_value,
             sparse_sizes=self._sparse_sizes, is_sorted=True, trust_data=True,
+            _host_data_owned=True,
         )
 
     # ------------------------------------------------------------------

@@ -212,3 +212,54 @@ def test_numpy_value_sorted_on_host_path():
     st = SparseStorage(row=row, col=col, value=val, sparse_sizes=(2, 2))
     # canonical order: (0,0)=40, (0,1)=20, (1,0)=10, (1,1)=30
     assert st.value().tolist() == [40.0, 20.0, 10.0, 30.0]
+
+
+@pytest.mark.parametrize("reduce", ["add", "mean", "min", "max"])
+def test_large_coalesce_native_path_matches_oracle(reduce):
+    """Above the native crossover (32768 edges) construction sort +
+    coalesce run through the fused C++ kernels (csrc native.cpp
+    lexsort_i64_pair_decode / coalesce_fill / segment_reduce_val); the
+    result must match a scipy-style numpy oracle exactly."""
+    import numpy as np
+
+    E, M = 120_000, 500  # dense duplicate regime
+    rng = np.random.RandomState(7)
+    row = rng.randint(0, M, E).astype(np.int64)
+    col = rng.randint(0, M, E).astype(np.int64)
+    val = rng.randn(E).astype(np.float32)
+
+    st = SparseStorage(
+        row=row, col=col, value=val, sparse_sizes=(M, M)
+    ).coalesce(reduce)
+
+    key = row * M + col
+    uniq, inv = np.unique(key, return_inverse=True)
+    if reduce == "add":
+        exp = np.zeros(uniq.shape[0], np.float64)
+        np.add.at(exp, inv, val.astype(np.float64))
+        atol = 1e-3  # f32 accumulation order differs from f64 oracle
+    elif reduce == "mean":
+        s = np.zeros(uniq.shape[0], np.float64)
+        np.add.at(s, inv, val.astype(np.float64))
+        cnt = np.bincount(inv, minlength=uniq.shape[0])
+        exp = s / cnt
+        atol = 1e-5
+    elif reduce == "min":
+        exp = np.full(uniq.shape[0], np.inf)
+        np.minimum.at(exp, inv, val.astype(np.float64))
+        atol = 0.0
+    else:
+        exp = np.full(uniq.shape[0], -np.inf)
+        np.maximum.at(exp, inv, val.astype(np.float64))
+        atol = 0.0
+
+    assert st.col().shape[0] == uniq.shape[0]
+    got_key = (
+        np.asarray(st.numpy_view("row")).astype(np.int64) * M
+        + np.asarray(st.numpy_view("col")).astype(np.int64)
+    )
+    assert np.array_equal(got_key, uniq)
+    np.testing.assert_allclose(
+        np.asarray(st.value()), exp.astype(np.float32), atol=atol, rtol=0
+    )
+    assert st.is_coalesced()
