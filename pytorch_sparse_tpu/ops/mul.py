@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..tensor import SparseTensor
 from ..utils.index_sort import lexsort_rows
 from .add import _broadcast_nnz
-from ..utils.host_sort import lexsort2
+from ..utils.host_sort import lexsort2_decode
 
 
 def mul(
@@ -46,8 +46,7 @@ def mul(
 
             row = np.concatenate([hrA, hrB])
             col = np.concatenate([hcA, hcB])
-            perm = lexsort2(row, col)
-            row, col = row[perm], col[perm]
+            perm, row, col = lexsort2_decode(row, col)
             dup = np.concatenate(
                 [[False], (row[1:] == row[:-1]) & (col[1:] == col[:-1])]
             )

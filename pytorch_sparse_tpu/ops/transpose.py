@@ -17,21 +17,22 @@ from ..tensor import SparseTensor
 
 
 def t(src: SparseTensor) -> SparseTensor:
-    csr2csc = src.storage.csr2csc()
-    row, col, value = src.coo()
-    if value is not None:
-        value = value[csr2csc]
     sparse_sizes = src.storage.sparse_sizes()
 
-    # Index gathers on the host when host views exist (device gathers
-    # are an eager compile per shape on the TPU tunnel); the new storage
-    # then re-seeds its own host cache from the numpy arrays.
-    hrow = src.storage.numpy_view_cached("row")
-    hcol = src.storage.numpy_view_cached("col")
-    hperm = src.storage.numpy_view_cached("csr2csc")
-    if hrow is not None and hcol is not None and hperm is not None:
-        new_row, new_col = hcol[hperm], hrow[hperm]
+    # Index work on the host when host views exist (device gathers are
+    # an eager compile per shape on the TPU tunnel): one native
+    # sort+decode yields csr2csc AND the transposed (row, col) without
+    # the two random index gathers; the new storage re-seeds its own
+    # host cache from the numpy arrays.
+    decoded = src.storage.csr2csc_decode_host()
+    csr2csc = src.storage.csr2csc()
+    value = src.storage.value()
+    if value is not None:
+        value = value[csr2csc]
+    if decoded is not None:
+        _, new_row, new_col = decoded
     else:
+        row, col = src.storage.row(), src.storage.col()
         new_row, new_col = col[csr2csc], row[csr2csc]
 
     storage = SparseStorage(

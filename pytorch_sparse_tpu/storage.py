@@ -628,6 +628,26 @@ class SparseStorage:
                 )
         return self._csr2csc
 
+    def csr2csc_decode_host(self):
+        """``(csr2csc, col[csr2csc], row[csr2csc])`` as numpy arrays via
+        one native sort+decode (no random gathers), or None when no host
+        views exist.  Seeds the csr2csc caches; the sorted outputs are
+        exactly the transposed tensor's (row, col)."""
+        hcol = self._np_cached("col")
+        if hcol is not None:
+            self.row()  # may host-build from rowptr and seed the cache
+        hrow = self._np_cached("row")
+        if hcol is None or hrow is None:
+            return None
+        hperm = self._np_cached("csr2csc")
+        if hperm is not None:
+            return hperm, hcol[hperm], hrow[hperm]
+        perm, col_s, row_s = lexsort2_decode(hcol, hrow)
+        self._np_seed("csr2csc", perm)
+        if self._csr2csc is None:
+            self._csr2csc = _as_index(perm)
+        return perm, col_s, row_s
+
     def has_csc2csr(self) -> bool:
         return self._csc2csr is not None
 
