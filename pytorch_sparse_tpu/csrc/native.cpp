@@ -1542,10 +1542,9 @@ constexpr int64_t kI32Max = 2147483647;
 // thread-minor so the chunked scatter preserves stability.  Identical
 // output to np.lexsort on any input (both are stable).
 // ---------------------------------------------------------------------
-template <typename IdxT>
-void radix_argsort_impl(const uint64_t *keys, int64_t n, uint64_t key_max,
-                        int64_t *perm, uint64_t *keys_out = nullptr) {
-  constexpr int RB = 11;
+template <int RB, typename IdxT>
+void radix_argsort_rb(const uint64_t *keys, int64_t n, uint64_t key_max,
+                      int64_t *perm, uint64_t *keys_out = nullptr) {
   constexpr int64_t NB = (int64_t)1 << RB;
   constexpr uint64_t MASK = (uint64_t)NB - 1;
   int bits = 0;
@@ -1660,6 +1659,26 @@ void radix_argsort_impl(const uint64_t *keys, int64_t n, uint64_t key_max,
   }
 }
 
+// Digit width chosen per key width: 12-bit digits when they save a
+// whole pass over 11-bit (e.g. the 36-bit row*N+col keys of a
+// Reddit-scale graph sort in 3 passes instead of 4 — measured ~15%
+// faster at 80M keys on this host); 11-bit otherwise (halved scatter
+// footprint wins when the pass count ties).
+inline bool use_rb12(uint64_t key_max) {
+  int bits = 0;
+  while (bits < 64 && (key_max >> bits)) bits++;
+  return (bits + 11) / 12 < (bits + 10) / 11;
+}
+
+template <typename IdxT>
+void radix_argsort_impl(const uint64_t *keys, int64_t n, uint64_t key_max,
+                        int64_t *perm, uint64_t *keys_out = nullptr) {
+  if (use_rb12(key_max))
+    radix_argsort_rb<12, IdxT>(keys, n, key_max, perm, keys_out);
+  else
+    radix_argsort_rb<11, IdxT>(keys, n, key_max, perm, keys_out);
+}
+
 // ---------------------------------------------------------------------
 // sort_edges: radix sort of (row*R + col) keys CARRYING the edge value
 // as the scatter payload, with sorted row/col decoded from the sorted
@@ -1676,12 +1695,11 @@ struct KVPair {
   P v;
 };
 
-template <typename P>
-void sort_edges_impl(const int64_t *row, const int64_t *col, const P *val,
-                     int64_t n, uint64_t R, uint64_t key_max,
-                     int64_t *row_out, int64_t *col_out, P *val_out) {
+template <int RB, typename P>
+void sort_edges_rb(const int64_t *row, const int64_t *col, const P *val,
+                   int64_t n, uint64_t R, uint64_t key_max,
+                   int64_t *row_out, int64_t *col_out, P *val_out) {
   using KV = KVPair<P>;
-  constexpr int RB = 11;
   constexpr int64_t NB = (int64_t)1 << RB;
   constexpr uint64_t MASK = (uint64_t)NB - 1;
   int bits = 0;
@@ -1772,6 +1790,18 @@ void sort_edges_impl(const int64_t *row, const int64_t *col, const P *val,
     col_out[i] = (int64_t)(k - r * R);
     val_out[i] = fin[i].v;
   }
+}
+
+template <typename P>
+void sort_edges_impl(const int64_t *row, const int64_t *col, const P *val,
+                     int64_t n, uint64_t R, uint64_t key_max,
+                     int64_t *row_out, int64_t *col_out, P *val_out) {
+  if (use_rb12(key_max))
+    sort_edges_rb<12, P>(row, col, val, n, R, key_max, row_out, col_out,
+                         val_out);
+  else
+    sort_edges_rb<11, P>(row, col, val, n, R, key_max, row_out, col_out,
+                         val_out);
 }
 
 // ---------------------------------------------------------------------
