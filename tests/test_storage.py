@@ -263,3 +263,33 @@ def test_large_coalesce_native_path_matches_oracle(reduce):
         np.asarray(st.value()), exp.astype(np.float32), atol=atol, rtol=0
     )
     assert st.is_coalesced()
+
+
+def test_large_construction_sort_value_forms():
+    """Above the native crossover the construction sort runs through
+    sort_edges (value carried as radix payload for 1-D f32/f64, perm
+    fallback otherwise); every form must reproduce the np.lexsort
+    ordering exactly."""
+    import numpy as np
+
+    E, M = 50_000, 900
+    rng = np.random.RandomState(3)
+    row = rng.randint(0, M, E).astype(np.int64)
+    col = rng.randint(0, M, E).astype(np.int64)
+    exp = np.lexsort((col, row))
+
+    for val in [
+        rng.randn(E).astype(np.float32),       # carried payload
+        rng.randn(E).astype(np.float64),       # carried payload (f64)
+        rng.randint(0, 99, E),                 # perm fallback (int)
+        rng.randn(E, 3).astype(np.float32),    # perm fallback (2-D)
+        jnp.asarray(rng.randn(E).astype(np.float32)),  # device value
+    ]:
+        st = SparseStorage(row=row, col=col, value=val,
+                           sparse_sizes=(M, M))
+        assert np.array_equal(np.asarray(st.numpy_view("row")), row[exp])
+        assert np.array_equal(np.asarray(st.numpy_view("col")), col[exp])
+        got = np.asarray(st.value())
+        want = np.asarray(val)[exp]
+        assert got.shape == want.shape
+        assert np.array_equal(got, want.astype(got.dtype))
