@@ -613,7 +613,8 @@ def coalesce_fill(
     ``(row_out, col_out, starts, seg)`` where ``starts`` has length
     ``nnz_out + 1`` (``starts[-1] == E``) and ``seg`` (when requested)
     maps each input edge to its output slot.  Output index dtype follows
-    the inputs (int32 kept int32)."""
+    the inputs (int32 kept int32); ``seg`` is int32 whenever E < 2**31
+    (it feeds a device push — half the bytes)."""
     row, col, code = _idx_pair(row, col)
     n = row.shape[0]
     lib.coalesce_count.restype = ctypes.c_int64
@@ -623,12 +624,14 @@ def coalesce_fill(
     row_out = np.empty(m, row.dtype)
     col_out = np.empty(m, col.dtype)
     starts = np.empty(m + 1, np.int64)
-    seg = np.empty(n, row.dtype) if want_seg else None
+    seg_dtype = np.int32 if n < 2**31 else np.int64
+    seg = np.empty(n, seg_dtype) if want_seg else None
     lib.coalesce_fill.restype = None
     lib.coalesce_fill(
         _vp(row), _vp(col), ctypes.c_int64(n), ctypes.c_int64(code),
         _vp(row_out), _vp(col_out), _p(starts),
         None if seg is None else _vp(seg),
+        ctypes.c_int64(1 if seg_dtype == np.int32 else 0),
     )
     return row_out, col_out, starts, seg
 

@@ -1836,9 +1836,9 @@ int64_t sorted_has_dup_impl(const I *row, const I *col, int64_t n) {
   return 0;
 }
 
-template <typename I>
+template <typename I, typename S>
 void coalesce_fill_impl(const I *row, const I *col, int64_t n, I *row_out,
-                        I *col_out, int64_t *starts, I *seg) {
+                        I *col_out, int64_t *starts, S *seg) {
   if (n == 0) {
     starts[0] = 0;
     return;
@@ -1879,7 +1879,7 @@ void coalesce_fill_impl(const I *row, const I *col, int64_t n, I *row_out,
         starts[j] = i;
         j++;
       }
-      if (seg) seg[i] = (I)(j - 1);
+      if (seg) seg[i] = (S)(j - 1);
     }
   }
   starts[bcnt[T]] = n;
@@ -1909,13 +1909,19 @@ void segment_reduce_val_impl(const V *val, int64_t K, const int64_t *starts,
       for (int64_t i = a + 1; i < b; i++)
         for (int64_t k = 0; k < K; k++) o[k] += val[i * K + k];
     } else if (mode == 2) {
+      // NaN-propagating like np.minimum.reduceat (std::min would drop
+      // a NaN update; a NaN already in o[k] survives both branches).
       for (int64_t i = a + 1; i < b; i++)
-        for (int64_t k = 0; k < K; k++)
-          o[k] = std::min(o[k], val[i * K + k]);
+        for (int64_t k = 0; k < K; k++) {
+          const V v = val[i * K + k];
+          o[k] = (v < o[k] || v != v) ? v : o[k];
+        }
     } else {
       for (int64_t i = a + 1; i < b; i++)
-        for (int64_t k = 0; k < K; k++)
-          o[k] = std::max(o[k], val[i * K + k]);
+        for (int64_t k = 0; k < K; k++) {
+          const V v = val[i * K + k];
+          o[k] = (v > o[k] || v != v) ? v : o[k];
+        }
     }
   }
 }
@@ -2102,17 +2108,31 @@ int64_t sorted_has_dup(const void *row, const void *col, int64_t n,
                                    n);
 }
 
+// seg_dtype: 0 = int64, 1 = int32 (independent of idx_dtype so a
+// 64-bit-indexed graph under 2^31 edges can still take the 4-byte
+// segment map).
 void coalesce_fill(const void *row, const void *col, int64_t n,
                    int64_t idx_dtype, void *row_out, void *col_out,
-                   int64_t *starts, void *seg) {
-  if (idx_dtype == 0)
-    coalesce_fill_impl((const int64_t *)row, (const int64_t *)col, n,
-                       (int64_t *)row_out, (int64_t *)col_out, starts,
-                       (int64_t *)seg);
-  else
-    coalesce_fill_impl((const int32_t *)row, (const int32_t *)col, n,
-                       (int32_t *)row_out, (int32_t *)col_out, starts,
-                       (int32_t *)seg);
+                   int64_t *starts, void *seg, int64_t seg_dtype) {
+  if (idx_dtype == 0) {
+    if (seg_dtype == 0)
+      coalesce_fill_impl((const int64_t *)row, (const int64_t *)col, n,
+                         (int64_t *)row_out, (int64_t *)col_out, starts,
+                         (int64_t *)seg);
+    else
+      coalesce_fill_impl((const int64_t *)row, (const int64_t *)col, n,
+                         (int64_t *)row_out, (int64_t *)col_out, starts,
+                         (int32_t *)seg);
+  } else {
+    if (seg_dtype == 0)
+      coalesce_fill_impl((const int32_t *)row, (const int32_t *)col, n,
+                         (int32_t *)row_out, (int32_t *)col_out, starts,
+                         (int64_t *)seg);
+    else
+      coalesce_fill_impl((const int32_t *)row, (const int32_t *)col, n,
+                         (int32_t *)row_out, (int32_t *)col_out, starts,
+                         (int32_t *)seg);
+  }
 }
 
 // val_dtype: 1 = float32, 2 = float64.  mode: 0 sum, 1 mean, 2 min, 3 max.

@@ -183,10 +183,10 @@ int64_t coalesce_count(const void *row, const void *col, int64_t n,
                        int64_t idx_dtype);
 // row_out/col_out: length coalesce_count(...); starts: that length + 1
 // (starts[m] = n); seg (optional, may be NULL): per-input-edge output
-// segment id, length n.
+// segment id, length n, with its own dtype code (0 = int64, 1 = int32).
 void coalesce_fill(const void *row, const void *col, int64_t n,
                    int64_t idx_dtype, void *row_out, void *col_out,
-                   int64_t *starts, void *seg);
+                   int64_t *starts, void *seg, int64_t seg_dtype);
 // Per-segment reduce of edge-sorted values (n, K) -> (m, K).
 // val_dtype: 1 = float32, 2 = float64; mode: 0 sum, 1 mean (f64
 // accumulation), 2 min, 3 max.

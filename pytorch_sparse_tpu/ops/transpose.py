@@ -48,6 +48,7 @@ def t(src: SparseTensor) -> SparseTensor:
         csc2csr=csr2csc,
         is_sorted=True,
         trust_data=True,
+        _host_data_owned=True,  # decode/gather outputs are fresh arrays
     )
     return src.from_storage(storage)
 

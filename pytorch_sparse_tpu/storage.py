@@ -38,11 +38,9 @@ import numpy as np
 from .csrc import bindings as _bindings
 from .segment import segment_reduce, segment_count
 from .utils.convert import INDEX_DTYPE, ind2ptr, ptr2ind
+from .utils.host_sort import _NATIVE_MIN as _NATIVE_COALESCE_MIN
 from .utils.host_sort import lexsort2, lexsort2_decode
 from .utils.index_sort import lexsort_rows
-
-# Below this edge count the numpy coalesce path wins (ctypes overhead).
-_NATIVE_COALESCE_MIN = 32768
 
 layouts = ["coo", "csr", "csc"]
 

@@ -128,3 +128,23 @@ def test_native_radix_direct():
     keys = rng.randint(0, 2**45, 100_000).astype(np.uint64)
     got = bindings.radix_argsort(keys)
     assert np.array_equal(got, np.argsort(keys, kind="stable"))
+
+
+@pytest.mark.skipif(not bindings.available(), reason="native lib missing")
+def test_segment_reduce_val_propagates_nan():
+    """min/max must propagate NaN like np.minimum/np.maximum.reduceat
+    (std::min/max would silently drop a NaN update)."""
+    n = 40_000
+    row = np.repeat(np.arange(n // 4), 4).astype(np.int64)
+    col = np.zeros(n, np.int64)
+    v = np.linspace(-4.0, 4.0, n).astype(np.float32)
+    v[5] = np.nan     # inside segment 1 (not its first slot)
+    v[8] = np.nan     # FIRST slot of segment 2
+    _, _, starts, _ = bindings.coalesce_fill(row, col)
+    for mode, ref in [("min", np.minimum), ("max", np.maximum)]:
+        got = bindings.segment_reduce_val(v, starts, mode)
+        exp = ref.reduceat(v, starts[:-1])
+        assert np.isnan(got[1]) and np.isnan(got[2])
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(exp))
+        mask = ~np.isnan(exp)
+        np.testing.assert_array_equal(got[mask], exp[mask])
