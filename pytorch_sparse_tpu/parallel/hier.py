@@ -1,0 +1,421 @@
+"""Hierarchical (DCN x ICI) distributed SpMM.
+
+Multi-slice TPU pods have two interconnect tiers: chips within a slice
+talk over ICI (fast), slices talk over DCN (an order of magnitude less
+bandwidth).  The flat 1-D halo schedule (``dist.py``) issues ONE
+all_to_all across all row shards, which (a) routes most of its traffic
+over DCN as soon as there is more than one slice and (b) sends the same
+remote row once PER REQUESTING CHIP.  This module adds the
+hierarchy-aware schedule the reference has no analogue for (the
+reference has no distributed runtime at all, SURVEY.md §2.3):
+
+* rows are partitioned over a 2-D ``(dcn, ici)`` mesh — slice ``s`` owns
+  the contiguous row blocks ``[s*C, (s+1)*C)``;
+* intra-slice halos ride one all_to_all over the ICI axis only;
+* cross-slice halos are DEDUPLICATED AT THE SLICE LEVEL: each server
+  block sends the union of the rows that ANY chip of a client slice
+  references — once per slice over DCN (one all_to_all over the ``dcn``
+  axis), then the union is spread to the slice's chips over ICI (one
+  all_gather).  DCN bytes drop by the intra-slice sharing factor, which
+  is large on METIS-ordered community graphs where neighboring blocks
+  reference the same hub rows.
+
+Use :func:`make_mesh_hier` for the mesh, permute with ``partition()``
+first so cluster boundaries align with slice boundaries, and compare
+fabrics with :meth:`HierShardedSparseMatrix.wire_report`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..tensor import SparseTensor
+from .dist import (
+    _build_group_ell,
+    _cdiv,
+    _combine_minmax,
+    _group_ell_apply,
+    _group_ell_minmax,
+    _is_min_of,
+    _postprocess,
+)
+from .mesh import _take_devices, data_axis
+
+dcn_axis = "d"
+
+
+def make_mesh_hier(
+    n_slices: int,
+    n_chips: int,
+    dcn_name: str = dcn_axis,
+    ici_name: str = data_axis,
+) -> Mesh:
+    """``(n_slices, n_chips)`` mesh: axis 0 crosses slices (DCN), axis 1
+    stays inside a slice (ICI).  On real pods pass devices so that rows
+    of the device array share a slice."""
+    devices = _take_devices(n_slices * n_chips)
+    return Mesh(
+        np.array(devices).reshape(n_slices, n_chips),
+        (dcn_name, ici_name),
+    )
+
+
+class HierShardedSparseMatrix:
+    """Row-partitioned sparse matrix on a ``(dcn, ici)`` mesh.
+
+    Same shared-shape ELLPACK table machinery as
+    :class:`~pytorch_sparse_tpu.parallel.dist.ShardedSparseMatrix`, with
+    the edge set split three ways per shard:
+
+      interior        — columns in the shard's own block (no traffic)
+      intra frontier  — columns elsewhere in the OWN slice (ICI)
+      cross frontier  — columns in other slices (DCN, slice-deduped)
+    """
+
+    def __init__(self, mesh: Mesh, M: int, N: int, Mb: int, Nb: int,
+                 S: int, C: int,
+                 int_itabs, int_vtabs, int_etabs, int_inv,
+                 fi_itabs, fi_vtabs, fi_etabs, fi_inv, serve_ici,
+                 fx_itabs, fx_vtabs, fx_etabs, fx_inv, serve_dcn,
+                 Hi: int, Hx: int, rowcount=None, nnz: int = 0,
+                 wire_stats=None):
+        self.mesh = mesh
+        self.M, self.N = M, N
+        self.Mb, self.Nb = Mb, Nb
+        self.S, self.C = S, C
+        self.P = S * C
+        self.int_itabs = tuple(int_itabs)
+        self.int_vtabs = tuple(int_vtabs)
+        self.int_etabs = tuple(int_etabs)
+        self.int_inv = int_inv
+        self.fi_itabs = tuple(fi_itabs)
+        self.fi_vtabs = tuple(fi_vtabs)
+        self.fi_etabs = tuple(fi_etabs)
+        self.fi_inv = fi_inv
+        self.serve_ici = serve_ici
+        self.fx_itabs = tuple(fx_itabs)
+        self.fx_vtabs = tuple(fx_vtabs)
+        self.fx_etabs = tuple(fx_etabs)
+        self.fx_inv = fx_inv
+        self.serve_dcn = serve_dcn
+        self.Hi, self.Hx = Hi, Hx
+        self.rowcount = rowcount
+        self.nnz = nnz
+        # static ints: real (unpadded) halo row counts for fabric
+        # accounting — not pytree leaves.
+        self.wire_stats = wire_stats or {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_sparse_tensor(
+        cls, A: SparseTensor, mesh: Mesh
+    ) -> "HierShardedSparseMatrix":
+        """Partition ``A``'s rows into ``S*C`` contiguous blocks; slice
+        ``s`` owns blocks ``[s*C, (s+1)*C)``.  METIS-permute first
+        (``partition(S*C)``) so both tiers see community-aligned cuts."""
+        S = mesh.shape[dcn_axis]
+        C = mesh.shape[data_axis]
+        Pn = S * C
+        M, N = A.sparse_sizes()
+        Mb, Nb = _cdiv(M, Pn), _cdiv(N, Pn)
+
+        row = np.asarray(A.storage.row()).astype(np.int64)
+        col = np.asarray(A.storage.col()).astype(np.int64)
+        value = A.storage.value()
+        value_np = (
+            np.asarray(value).astype(np.float32)
+            if value is not None
+            else np.ones(row.shape, np.float32)
+        )
+        E = row.shape[0]
+        eid = np.arange(E, dtype=np.int64)
+        owner = row // Mb
+        block = col // Nb
+
+        int_groups, fi_groups, fx_groups = [], [], []
+        # ici_cols[q][c'] = distinct q-local cols client chip (s, c')
+        # needs from server block q (same slice).
+        ici_cols: List[List[np.ndarray]] = [
+            [np.zeros(0, np.int64)] * C for _ in range(Pn)
+        ]
+        # dcn_cols[q][s'] = union of q-local cols ANY chip of client
+        # slice s' needs from server block q (other slice).
+        dcn_cols: List[List[np.ndarray]] = [
+            [np.zeros(0, np.int64)] * S for _ in range(Pn)
+        ]
+        flat_cross_rows = 0  # per-(chip, block) counts (no slice dedup)
+        fi_raw, fx_raw = [], []
+        for p in range(Pn):
+            s, c = divmod(p, C)
+            selp = owner == p
+            interior = selp & (block == p)
+            int_groups.append((
+                row[interior] - p * Mb, col[interior] - p * Nb,
+                value_np[interior], eid[interior],
+            ))
+            blk_slice = block // C
+            fi = selp & (blk_slice == s) & (block != p)
+            fx = selp & (blk_slice != s)
+            # intra-slice: record the distinct cols per server chip
+            rf, cf, qf = row[fi] - p * Mb, col[fi], block[fi]
+            for cq in range(C):
+                q = s * C + cq
+                sq = qf == q
+                if q == p or not sq.any():
+                    continue
+                ici_cols[q][c] = np.unique(cf[sq] - q * Nb)
+            fi_raw.append((rf, cf, qf, value_np[fi], eid[fi]))
+            # cross-slice: accumulate per-(server block, client slice)
+            rx, cx, qx = row[fx] - p * Mb, col[fx], block[fx]
+            for q in np.unique(qx):
+                sq = qx == q
+                u = np.unique(cx[sq] - q * Nb)
+                flat_cross_rows += u.size
+                prev = dcn_cols[q][s]
+                dcn_cols[q][s] = (
+                    np.union1d(prev, u) if prev.size else u
+                )
+            fx_raw.append((rx, cx, qx, value_np[fx], eid[fx]))
+
+        Hi = max([1] + [u.size for per in ici_cols for u in per])
+        Hx = max([1] + [u.size for per in dcn_cols for u in per])
+        serve_ici = np.zeros((Pn, C, Hi), np.int32)
+        serve_dcn = np.zeros((Pn, S, Hx), np.int32)
+        for q in range(Pn):
+            for cc in range(C):
+                u = ici_cols[q][cc]
+                serve_ici[q, cc, : u.size] = u
+            for ss in range(S):
+                u = dcn_cols[q][ss]
+                serve_dcn[q, ss, : u.size] = u
+
+        # client-side buffer indices
+        for p in range(Pn):
+            s, c = divmod(p, C)
+            rf, cf, qf, vf, ef = fi_raw[p]
+            buf = np.zeros(rf.shape[0], np.int64)
+            for cq in range(C):
+                q = s * C + cq
+                sq = qf == q
+                if not sq.any():
+                    continue
+                u = ici_cols[q][c]
+                buf[sq] = cq * Hi + np.searchsorted(u, cf[sq] - q * Nb)
+            fi_groups.append((rf, buf, vf, ef))
+
+            rx, cx, qx, vx, ex = fx_raw[p]
+            bufx = np.zeros(rx.shape[0], np.int64)
+            for q in np.unique(qx):
+                sq = qx == q
+                u = dcn_cols[q][s]
+                sqq, cq = divmod(int(q), C)
+                bufx[sq] = (
+                    (cq * S + sqq) * Hx
+                    + np.searchsorted(u, cx[sq] - q * Nb)
+                )
+            fx_groups.append((rx, bufx, vx, ex))
+
+        int_itabs, int_vtabs, int_etabs, int_inv, _ = _build_group_ell(
+            int_groups, Mb, sentinel=Nb, E_total=E
+        )
+        fi_itabs, fi_vtabs, fi_etabs, fi_inv, _ = _build_group_ell(
+            fi_groups, Mb, sentinel=C * Hi, E_total=E
+        )
+        fx_itabs, fx_vtabs, fx_etabs, fx_inv, _ = _build_group_ell(
+            fx_groups, Mb, sentinel=C * S * Hx, E_total=E
+        )
+        rowcount = np.bincount(
+            row, minlength=Pn * Mb
+        ).reshape(Pn, Mb).astype(np.int32)
+
+        hier_cross_rows = sum(
+            int(u.size) for per in dcn_cols for u in per
+        )
+        ici_rows = sum(int(u.size) for per in ici_cols for u in per)
+        wire_stats = {
+            # real distinct rows crossing DCN per step, after/without
+            # the slice-level union dedup
+            "dcn_rows_hier": hier_cross_rows,
+            "dcn_rows_flat": int(flat_cross_rows),
+            "ici_rows": ici_rows,
+            # padded on-the-wire row slots (what the collectives move)
+            "dcn_row_slots": Pn * S * Hx,
+            "ici_row_slots": Pn * C * Hi + Pn * (C * S * Hx),
+        }
+
+        spec = lambda nd: P((dcn_axis, data_axis), *([None] * (nd - 1)))  # noqa: E731
+
+        def put(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, spec(x.ndim))
+            )
+
+        return cls(
+            mesh, M, N, Mb, Nb, S, C,
+            [put(t) for t in int_itabs], [put(t) for t in int_vtabs],
+            [put(t) for t in int_etabs], put(int_inv),
+            [put(t) for t in fi_itabs], [put(t) for t in fi_vtabs],
+            [put(t) for t in fi_etabs], put(fi_inv),
+            put(jnp.asarray(serve_ici)),
+            [put(t) for t in fx_itabs], [put(t) for t in fx_vtabs],
+            [put(t) for t in fx_etabs], put(fx_inv),
+            put(jnp.asarray(serve_dcn)),
+            Hi, Hx, rowcount=put(jnp.asarray(rowcount)), nnz=E,
+            wire_stats=wire_stats,
+        )
+
+    # ------------------------------------------------------------------
+    @property
+    def _xspec(self):
+        return P((dcn_axis, data_axis), None, None)
+
+    def shard_dense(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(N, K) -> (P, Nb, K) row blocks, sharded over both axes."""
+        K = x.shape[1]
+        pad = self.P * self.Nb - x.shape[0]
+        xb = jnp.pad(x, ((0, pad), (0, 0))).reshape(self.P, self.Nb, K)
+        return jax.device_put(xb, NamedSharding(self.mesh, self._xspec))
+
+    def unshard_dense(self, y: jnp.ndarray) -> jnp.ndarray:
+        return y.reshape(self.P * self.Mb, -1)[: self.M]
+
+    def wire_report(self, K: int = 128, itemsize: int = 4):
+        """Per-step fabric bytes (real rows x K x itemsize): the flat
+        1-D halo schedule's cross-slice traffic vs this schedule's
+        slice-deduped DCN traffic, plus the ICI leg."""
+        w = self.wire_stats
+        return {
+            "dcn_bytes_flat": w["dcn_rows_flat"] * K * itemsize,
+            "dcn_bytes_hier": w["dcn_rows_hier"] * K * itemsize,
+            "dcn_dedup_factor": (
+                w["dcn_rows_flat"] / max(w["dcn_rows_hier"], 1)
+            ),
+            "ici_bytes": w["ici_rows"] * K * itemsize,
+        }
+
+
+def _hier_flatten(s: HierShardedSparseMatrix):
+    children = (
+        s.int_itabs, s.int_vtabs, s.int_etabs, s.int_inv,
+        s.fi_itabs, s.fi_vtabs, s.fi_etabs, s.fi_inv, s.serve_ici,
+        s.fx_itabs, s.fx_vtabs, s.fx_etabs, s.fx_inv, s.serve_dcn,
+        s.rowcount,
+    )
+    aux = (s.mesh, s.M, s.N, s.Mb, s.Nb, s.S, s.C, s.Hi, s.Hx, s.nnz,
+           tuple(sorted(s.wire_stats.items())))
+    return children, aux
+
+
+def _hier_unflatten(aux, ch) -> HierShardedSparseMatrix:
+    mesh, M, N, Mb, Nb, S, C, Hi, Hx, nnz, ws = aux
+    return HierShardedSparseMatrix(
+        mesh, M, N, Mb, Nb, S, C,
+        ch[0], ch[1], ch[2], ch[3],
+        ch[4], ch[5], ch[6], ch[7], ch[8],
+        ch[9], ch[10], ch[11], ch[12], ch[13],
+        Hi, Hx, rowcount=ch[14], nnz=nnz, wire_stats=dict(ws),
+    )
+
+
+jax.tree_util.register_pytree_node(
+    HierShardedSparseMatrix, _hier_flatten, _hier_unflatten
+)
+
+
+def _hier_local(is_min,
+                int_itabs, int_vtabs, int_etabs, int_inv,
+                fi_itabs, fi_vtabs, fi_etabs, fi_inv, serve_ici,
+                fx_itabs, fx_vtabs, fx_etabs, fx_inv, serve_dcn,
+                x_local):
+    x = x_local[0]                                    # (Nb, K)
+    K = x.shape[1]
+    # DCN leg first — it has the longest latency, and neither the
+    # interior SpMM nor the ICI exchange depends on it, so XLA's
+    # latency-hiding scheduler overlaps all three.
+    served_dcn = jnp.take(x, serve_dcn[0], axis=0)    # (S, Hx, K)
+    halo_dcn = lax.all_to_all(
+        served_dcn, dcn_axis, split_axis=0, concat_axis=0, tiled=True
+    )                                                 # (S, Hx, K)
+    union = lax.all_gather(halo_dcn, data_axis, tiled=True)
+    # (C*S, Hx, K): [c'*S + s'] = rows of block (s', c') for my slice
+    served_ici = jnp.take(x, serve_ici[0], axis=0)    # (C, Hi, K)
+    halo_ici = lax.all_to_all(
+        served_ici, data_axis, split_axis=0, concat_axis=0, tiled=True
+    )                                                 # (C, Hi, K)
+
+    one = lambda ts: [t[0] for t in ts]  # noqa: E731
+    if is_min is None:
+        out = _group_ell_apply(
+            one(int_itabs), one(int_vtabs), int_inv[0], x
+        )
+        out = out + _group_ell_apply(
+            one(fi_itabs), one(fi_vtabs), fi_inv[0],
+            halo_ici.reshape(-1, K),
+        )
+        out = out + _group_ell_apply(
+            one(fx_itabs), one(fx_vtabs), fx_inv[0],
+            union.reshape(-1, K),
+        )
+        return out[None]
+    oa = _group_ell_minmax(
+        one(int_itabs), one(int_vtabs), one(int_etabs), int_inv[0], x,
+        is_min,
+    )
+    oa = _combine_minmax(oa, _group_ell_minmax(
+        one(fi_itabs), one(fi_vtabs), one(fi_etabs), fi_inv[0],
+        halo_ici.reshape(-1, K), is_min,
+    ), is_min)
+    oa = _combine_minmax(oa, _group_ell_minmax(
+        one(fx_itabs), one(fx_vtabs), one(fx_etabs), fx_inv[0],
+        union.reshape(-1, K), is_min,
+    ), is_min)
+    out, arg = oa
+    return out[None], arg[None]
+
+
+def dist_spmm_hier(
+    A: HierShardedSparseMatrix, x_sharded: jnp.ndarray,
+    reduce: str = "sum",
+):
+    """Hierarchy-aware SpMM: interior compute + intra-slice halos over
+    ICI + slice-deduplicated cross-slice unions over DCN.  Same 4-mode
+    reduce contract (and argout semantics) as ``dist_spmm``."""
+    is_min = _is_min_of(reduce)
+    spec3 = P((dcn_axis, data_axis), None, None)
+    xspec = A._xspec
+    fn = jax.shard_map(
+        partial(_hier_local, is_min),
+        mesh=A.mesh,
+        in_specs=(
+            tuple(spec3 for _ in A.int_itabs),
+            tuple(spec3 for _ in A.int_vtabs),
+            tuple(spec3 for _ in A.int_etabs),
+            P((dcn_axis, data_axis), None),
+            tuple(spec3 for _ in A.fi_itabs),
+            tuple(spec3 for _ in A.fi_vtabs),
+            tuple(spec3 for _ in A.fi_etabs),
+            P((dcn_axis, data_axis), None),
+            spec3,
+            tuple(spec3 for _ in A.fx_itabs),
+            tuple(spec3 for _ in A.fx_vtabs),
+            tuple(spec3 for _ in A.fx_etabs),
+            P((dcn_axis, data_axis), None),
+            spec3,
+            xspec,
+        ),
+        out_specs=xspec if is_min is None else (xspec, xspec),
+    )
+    res = fn(A.int_itabs, A.int_vtabs, A.int_etabs, A.int_inv,
+             A.fi_itabs, A.fi_vtabs, A.fi_etabs, A.fi_inv, A.serve_ici,
+             A.fx_itabs, A.fx_vtabs, A.fx_etabs, A.fx_inv, A.serve_dcn,
+             x_sharded)
+    if is_min is None:
+        return _postprocess(A, res, None, reduce, x_sharded.dtype)
+    return _postprocess(A, res[0], res[1], reduce, x_sharded.dtype)

@@ -1,0 +1,179 @@
+"""Hierarchical (DCN x ICI) distributed SpMM on the virtual 8-device
+mesh arranged as 2 slices x 4 chips (the two-tier fabric the flat 1-D
+schedules cannot distinguish)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_sparse_tpu import SparseTensor, matmul
+from pytorch_sparse_tpu.parallel import (
+    HierShardedSparseMatrix, dist_spmm_hier, make_mesh_hier,
+)
+
+
+def _random_adj(M, E, seed=0):
+    rng = np.random.RandomState(seed)
+    return SparseTensor(
+        row=jnp.asarray(rng.randint(0, M, E).astype(np.int32)),
+        col=jnp.asarray(rng.randint(0, M, E).astype(np.int32)),
+        value=jnp.asarray(rng.randn(E).astype(np.float32)),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+
+
+def _community_adj(M, E, parts, seed=0, intra=0.9):
+    """Planted-community graph in cluster order (what partition() emits)."""
+    rng = np.random.RandomState(seed)
+    sizes = np.full(parts, M // parts)
+    sizes[: M % parts] += 1
+    start = np.concatenate([[0], np.cumsum(sizes)])
+    n_i = int(E * intra)
+    ce = rng.randint(0, parts, n_i)
+    row_i = start[ce] + (rng.rand(n_i) * sizes[ce]).astype(np.int64)
+    col_i = start[ce] + (rng.rand(n_i) * sizes[ce]).astype(np.int64)
+    row_o = rng.randint(0, M, E - n_i)
+    col_o = rng.randint(0, M, E - n_i)
+    return SparseTensor(
+        row=np.concatenate([row_i, row_o]),
+        col=np.concatenate([col_i, col_o]),
+        value=rng.randn(E).astype(np.float32),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh_hier(2, 4)
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "min", "max"])
+def test_hier_spmm_matches_single_device(mesh, reduce):
+    A = _random_adj(96, 800)
+    x = jnp.asarray(np.random.RandomState(1).randn(96, 8), jnp.float32)
+    expected = matmul(A, x, reduce)
+
+    Ah = HierShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    res = dist_spmm_hier(Ah, Ah.shard_dense(x), reduce)
+    if reduce in ("min", "max"):
+        res, arg = res
+        arg_flat = np.asarray(Ah.unshard_dense(arg))
+        rc = np.zeros(96, np.int64)
+        np.add.at(rc, np.asarray(A.storage.row()), 1)
+        empty = rc == 0
+        assert (arg_flat[empty] == A.nnz()).all()
+        assert (arg_flat[~empty] < A.nnz()).all()
+    got = Ah.unshard_dense(res)
+    assert np.allclose(got, expected, atol=1e-4), reduce
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "min", "max"])
+def test_hier_spmm_grads_oracle(mesh, reduce):
+    """Both gradients (x and edge values) vs the single-device path."""
+    A = _random_adj(64, 400, seed=5)
+    x = jnp.asarray(np.random.RandomState(6).randn(64, 4), jnp.float32)
+    _, _, value = A.coo()
+
+    def ref_loss(v, xx):
+        return (matmul(A.set_value(v, layout="coo"), xx, reduce) ** 2).sum()
+
+    gv_ref, gx_ref = jax.grad(ref_loss, argnums=(0, 1))(value, x)
+
+    Ah = HierShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    xs = Ah.shard_dense(x)
+
+    def run(vtabs, xx):
+        A2 = HierShardedSparseMatrix(
+            Ah.mesh, Ah.M, Ah.N, Ah.Mb, Ah.Nb, Ah.S, Ah.C,
+            Ah.int_itabs, vtabs[0], Ah.int_etabs, Ah.int_inv,
+            Ah.fi_itabs, vtabs[1], Ah.fi_etabs, Ah.fi_inv, Ah.serve_ici,
+            Ah.fx_itabs, vtabs[2], Ah.fx_etabs, Ah.fx_inv, Ah.serve_dcn,
+            Ah.Hi, Ah.Hx, rowcount=Ah.rowcount, nnz=Ah.nnz,
+        )
+        res = dist_spmm_hier(A2, xx, reduce)
+        out = res[0] if reduce in ("min", "max") else res
+        return (out ** 2).sum()
+
+    vt0 = (Ah.int_vtabs, Ah.fi_vtabs, Ah.fx_vtabs)
+    g_vt, g_x = jax.jit(jax.grad(run, argnums=(0, 1)))(vt0, xs)
+
+    assert np.allclose(Ah.unshard_dense(g_x), gx_ref, atol=1e-3), \
+        f"x-grad mismatch (hier, {reduce})"
+
+    gv = np.zeros(A.nnz() + 1, np.float64)
+    for fam_g, fam_e in zip(
+        g_vt, (Ah.int_etabs, Ah.fi_etabs, Ah.fx_etabs)
+    ):
+        for gt, etab in zip(fam_g, fam_e):
+            np.add.at(
+                gv, np.asarray(etab).ravel(),
+                np.asarray(gt, np.float64).ravel(),
+            )
+    assert np.allclose(gv[:-1], np.asarray(gv_ref, np.float64),
+                       atol=1e-3), f"value-grad mismatch (hier, {reduce})"
+
+
+@pytest.mark.parametrize("reduce", ["min", "max"])
+def test_hier_minmax_tie_contract(mesh, reduce):
+    """Ties resolve to the first CSR-order edge, identically to the
+    single-device argout path, with the full cotangent on that edge."""
+    from pytorch_sparse_tpu import spmm_max, spmm_min
+
+    M, deg, K = 48, 6, 5
+    rng = np.random.RandomState(3)
+    row = np.repeat(np.arange(M), deg)
+    col = rng.randint(0, M, row.size)
+    A = SparseTensor(
+        row=row.astype(np.int64), col=col.astype(np.int64),
+        value=np.ones(row.size, np.float32), sparse_sizes=(M, M),
+    ).coalesce("add")
+    base = np.random.RandomState(4).randn(3, K).astype(np.float32)
+    x = jnp.asarray(base[np.arange(M) % 3])
+
+    fn = spmm_min if reduce == "min" else spmm_max
+    out_ref, arg_ref = fn(A, x)
+
+    Ah = HierShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    xs = Ah.shard_dense(x)
+    out_d, arg_d = dist_spmm_hier(Ah, xs, reduce)
+    assert np.allclose(Ah.unshard_dense(out_d), out_ref, atol=1e-5)
+    assert (np.asarray(Ah.unshard_dense(arg_d))
+            == np.asarray(arg_ref)).all(), \
+        "hier argout tie-breaking diverged from the single-device rule"
+
+    gx_ref = jax.grad(lambda xx: (fn(A, xx)[0] ** 2).sum())(x)
+    g_x = jax.jit(jax.grad(
+        lambda xx: (dist_spmm_hier(Ah, xx, reduce)[0] ** 2).sum()
+    ))(xs)
+    assert np.allclose(Ah.unshard_dense(g_x), gx_ref, atol=1e-4)
+
+
+def test_hier_dcn_dedup_beats_flat(mesh):
+    """On a community graph in cluster order the slice-level union must
+    strictly reduce cross-slice (DCN) rows vs the flat per-chip halo."""
+    A = _community_adj(240, 6000, parts=8, seed=7)
+    Ah = HierShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    rep = Ah.wire_report(K=8)
+    assert rep["dcn_bytes_hier"] <= rep["dcn_bytes_flat"]
+    assert rep["dcn_dedup_factor"] > 1.0, rep
+    # and the numbers are the real schedule: forward still matches
+    x = jnp.asarray(np.random.RandomState(2).randn(240, 8), jnp.float32)
+    got = Ah.unshard_dense(dist_spmm_hier(Ah, Ah.shard_dense(x), "sum"))
+    assert np.allclose(got, matmul(A, x, "sum"), atol=1e-4)
+
+
+def test_hier_jit_pytree(mesh):
+    """HierShardedSparseMatrix rides jit as a pytree argument."""
+    A = _random_adj(40, 200, seed=9)
+    Ah = HierShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    x = jnp.asarray(np.random.RandomState(1).randn(40, 4), jnp.float32)
+
+    @jax.jit
+    def f(Ah, xs):
+        return dist_spmm_hier(Ah, xs, "sum")
+
+    got = Ah.unshard_dense(f(Ah, Ah.shard_dense(x)))
+    assert np.allclose(got, matmul(A, x, "sum"), atol=1e-4)
