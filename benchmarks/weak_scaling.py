@@ -236,6 +236,27 @@ def main():
                                    hosts=hosts, pf=pf)
                 print(f"{hosts:5d}  {pf:2d}   {proj*1e3:10.3f}   "
                       f"{t1/proj:5.2f}")
+        # Measured slice-level union dedup of the hierarchical schedule
+        # (parallel/hier.py): the flat projection above charges every
+        # (chip, remote row) reference across DCN; the hier schedule
+        # sends each remote row once per requesting SLICE.
+        from pytorch_sparse_tpu.parallel import (
+            HierShardedSparseMatrix, make_mesh_hier,
+        )
+
+        A = _graph(P, args.m_per, args.e_per, args.partitioned, args.intra)
+        for S in (2, 4):
+            if P % S or S >= P:
+                continue
+            Ah = HierShardedSparseMatrix.from_sparse_tensor(
+                A, make_mesh_hier(S, P // S)
+            )
+            rep = Ah.wire_report(K=args.K)
+            print(f"hier S={S} C={P//S}: DCN "
+                  f"{rep['dcn_bytes_flat']/1e6:.1f} MB flat -> "
+                  f"{rep['dcn_bytes_hier']/1e6:.1f} MB union "
+                  f"({rep['dcn_dedup_factor']:.2f}x), "
+                  f"ICI {rep['ici_bytes']/1e6:.1f} MB")
         sys.stdout.flush()
         return
 

@@ -29,10 +29,15 @@ class DistGCN:
         params: Dict, adj: ShardedSparseMatrix, x: jnp.ndarray,
         schedule: str = "ring",
     ) -> jnp.ndarray:
+        from ..parallel.hier import HierShardedSparseMatrix, dist_spmm_hier
+
+        hier = isinstance(adj, HierShardedSparseMatrix)
         n = len(params["layers"])
         for i, layer in enumerate(params["layers"]):
             x = x @ layer["w"]                       # shard-local (P,Nb,D)
-            x = dist_spmm(adj, x, schedule) + layer["b"]
+            agg = (dist_spmm_hier(adj, x) if hier
+                   else dist_spmm(adj, x, schedule))
+            x = agg + layer["b"]
             if i < n - 1:
                 x = jax.nn.relu(x)
         return x
