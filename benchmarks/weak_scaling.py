@@ -62,14 +62,16 @@ def _graph(P, M_per, E_per, partitioned, intra=0.9, seed=0):
     return A
 
 
-def run(P, M_per, E_per, K, schedule, partitioned=False, intra=0.9):
+def run(P, M_per, E_per, K, schedule, partitioned=False, intra=0.9,
+        A=None):
     from timing import device_time
 
     from pytorch_sparse_tpu.parallel import (
         ShardedSparseMatrix, dist_spmm, make_mesh,
     )
 
-    A = _graph(P, M_per, E_per, partitioned, intra)
+    if A is None:
+        A = _graph(P, M_per, E_per, partitioned, intra)
     mesh = make_mesh(P)
     Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh)
     rng = np.random.RandomState(1)
@@ -221,8 +223,9 @@ def main():
         # packet by pf.  Shows where DCN binds and how feature sharding
         # buys the headroom back.
         P = min(8, avail)
+        A = _graph(P, args.m_per, args.e_per, args.partitioned, args.intra)
         st = run(P, args.m_per, args.e_per, args.K, "halo",
-                 args.partitioned, args.intra)
+                 args.partitioned, args.intra, A=A)
         t1 = st["e_shard"] / args.chip_rate
         print(f"# hierarchy sweep: halo, P={P}, wire/chip="
               f"{st['wire']/1e6:.1f} MB, DCN={DCN_HOST_BW/1e9:.0f} "
@@ -244,7 +247,6 @@ def main():
             HierShardedSparseMatrix, make_mesh_hier,
         )
 
-        A = _graph(P, args.m_per, args.e_per, args.partitioned, args.intra)
         for S in (2, 4):
             if P % S or S >= P:
                 continue

@@ -9,7 +9,7 @@ step is one jit-compiled SPMD program.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,11 +27,23 @@ class DistGCN:
     @staticmethod
     def apply(
         params: Dict, adj: ShardedSparseMatrix, x: jnp.ndarray,
-        schedule: str = "ring",
+        schedule: Optional[str] = None,
     ) -> jnp.ndarray:
+        """``schedule``: ring/allgather/halo for a flat
+        ``ShardedSparseMatrix`` (default ring); a
+        ``HierShardedSparseMatrix`` always runs its own hierarchical
+        schedule — passing any other name for one is an error rather
+        than being silently ignored."""
         from ..parallel.hier import HierShardedSparseMatrix, dist_spmm_hier
 
         hier = isinstance(adj, HierShardedSparseMatrix)
+        if hier and schedule not in (None, "hier"):
+            raise ValueError(
+                f"schedule={schedule!r} requested but `adj` is a "
+                "HierShardedSparseMatrix (runs the hierarchical "
+                "schedule only)"
+            )
+        schedule = schedule or "ring"
         n = len(params["layers"])
         for i, layer in enumerate(params["layers"]):
             x = x @ layer["w"]                       # shard-local (P,Nb,D)
@@ -45,7 +57,7 @@ class DistGCN:
     @staticmethod
     def loss(
         params, adj: ShardedSparseMatrix, x, labels, mask,
-        schedule: str = "ring",
+        schedule: Optional[str] = None,
     ) -> jnp.ndarray:
         """labels/mask: (P, Nb) stacked+sharded like x (mask zeroes the
         padding rows)."""
@@ -57,7 +69,7 @@ class DistGCN:
     @staticmethod
     def train_step(
         params, opt_state, adj: ShardedSparseMatrix, x, labels, mask,
-        optimizer, schedule: str = "ring",
+        optimizer, schedule: Optional[str] = None,
     ) -> Tuple[Dict, object, jnp.ndarray]:
         loss, grads = jax.value_and_grad(DistGCN.loss)(
             params, adj, x, labels, mask, schedule

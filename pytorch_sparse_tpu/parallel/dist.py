@@ -58,6 +58,22 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _extract_coo(A: SparseTensor):
+    """``(row, col, value_f32, eid, E)`` host arrays — the common
+    preamble of every sharded-matrix constructor (missing values become
+    implicit ones, like the reference SpMM)."""
+    row = np.asarray(A.storage.row()).astype(np.int64)
+    col = np.asarray(A.storage.col()).astype(np.int64)
+    value = A.storage.value()
+    value_np = (
+        np.asarray(value).astype(np.float32)
+        if value is not None
+        else np.ones(row.shape, np.float32)
+    )
+    E = row.shape[0]
+    return row, col, value_np, np.arange(E, dtype=np.int64), E
+
+
 def _extreme(dtype, is_min):
     """Identity element for a masked min/max in ``dtype`` — the true
     dtype limits, like the reference's Reducer template (reducer.h:43-62).
@@ -335,19 +351,9 @@ class ShardedSparseMatrix:
         M, N = A.sparse_sizes()
         Mb, Nb = _cdiv(M, Pn), _cdiv(N, Pn)
 
-        row = np.asarray(A.storage.row())
-        col = np.asarray(A.storage.col())
-        value = A.storage.value()
-        value_np = (
-            np.asarray(value).astype(np.float32)
-            if value is not None
-            else np.ones(row.shape, np.float32)
-        )
-
+        row, col, value_np, eid, E = _extract_coo(A)
         owner = row // Mb
         block = col // Nb
-        E = row.shape[0]
-        eid = np.arange(E, dtype=np.int64)
 
         # --- flat per-shard groups (all-gather schedule; global cols)
         flat_groups = []

@@ -41,6 +41,7 @@ from .dist import (
     _build_group_ell,
     _cdiv,
     _combine_minmax,
+    _extract_coo,
     _group_ell_apply,
     _group_ell_minmax,
     _is_min_of,
@@ -56,15 +57,17 @@ def make_mesh_hier(
     n_chips: int,
     dcn_name: str = dcn_axis,
     ici_name: str = data_axis,
+    devices=None,
 ) -> Mesh:
     """``(n_slices, n_chips)`` mesh: axis 0 crosses slices (DCN), axis 1
-    stays inside a slice (ICI).  On real pods pass devices so that rows
-    of the device array share a slice."""
-    devices = _take_devices(n_slices * n_chips)
-    return Mesh(
-        np.array(devices).reshape(n_slices, n_chips),
-        (dcn_name, ici_name),
-    )
+    stays inside a slice (ICI).  On real pods pass ``devices`` ordered
+    slice-major (row ``s`` of the device array = the chips of slice
+    ``s``) — ``jax.devices()`` default order is NOT guaranteed to group
+    by slice."""
+    if devices is None:
+        devices = _take_devices(n_slices * n_chips)
+    devices = np.asarray(devices).reshape(n_slices, n_chips)
+    return Mesh(devices, (dcn_name, ici_name))
 
 
 class HierShardedSparseMatrix:
@@ -126,18 +129,10 @@ class HierShardedSparseMatrix:
         M, N = A.sparse_sizes()
         Mb, Nb = _cdiv(M, Pn), _cdiv(N, Pn)
 
-        row = np.asarray(A.storage.row()).astype(np.int64)
-        col = np.asarray(A.storage.col()).astype(np.int64)
-        value = A.storage.value()
-        value_np = (
-            np.asarray(value).astype(np.float32)
-            if value is not None
-            else np.ones(row.shape, np.float32)
-        )
-        E = row.shape[0]
-        eid = np.arange(E, dtype=np.int64)
+        row, col, value_np, eid, E = _extract_coo(A)
         owner = row // Mb
         block = col // Nb
+        blk_slice = block // C
 
         int_groups, fi_groups, fx_groups = [], [], []
         # ici_cols[q][c'] = distinct q-local cols client chip (s, c')
@@ -160,7 +155,6 @@ class HierShardedSparseMatrix:
                 row[interior] - p * Mb, col[interior] - p * Nb,
                 value_np[interior], eid[interior],
             ))
-            blk_slice = block // C
             fi = selp & (blk_slice == s) & (block != p)
             fx = selp & (blk_slice != s)
             # intra-slice: record the distinct cols per server chip
@@ -289,15 +283,19 @@ class HierShardedSparseMatrix:
     def wire_report(self, K: int = 128, itemsize: int = 4):
         """Per-step fabric bytes (real rows x K x itemsize): the flat
         1-D halo schedule's cross-slice traffic vs this schedule's
-        slice-deduped DCN traffic, plus the ICI leg."""
+        slice-deduped DCN traffic, plus the full ICI leg (intra-slice
+        halos AND the all_gather that spreads each received union row to
+        the slice's other C-1 chips)."""
         w = self.wire_stats
+        ici_rows = w["ici_rows"] + (self.C - 1) * w["dcn_rows_hier"]
         return {
             "dcn_bytes_flat": w["dcn_rows_flat"] * K * itemsize,
             "dcn_bytes_hier": w["dcn_rows_hier"] * K * itemsize,
             "dcn_dedup_factor": (
-                w["dcn_rows_flat"] / max(w["dcn_rows_hier"], 1)
+                w["dcn_rows_flat"] / w["dcn_rows_hier"]
+                if w["dcn_rows_hier"] else 1.0
             ),
-            "ici_bytes": w["ici_rows"] * K * itemsize,
+            "ici_bytes": ici_rows * K * itemsize,
         }
 
 

@@ -24,23 +24,12 @@ def _random_adj(M, E, seed=0):
 
 
 def _community_adj(M, E, parts, seed=0, intra=0.9):
-    """Planted-community graph in cluster order (what partition() emits)."""
-    rng = np.random.RandomState(seed)
-    sizes = np.full(parts, M // parts)
-    sizes[: M % parts] += 1
-    start = np.concatenate([[0], np.cumsum(sizes)])
-    n_i = int(E * intra)
-    ce = rng.randint(0, parts, n_i)
-    row_i = start[ce] + (rng.rand(n_i) * sizes[ce]).astype(np.int64)
-    col_i = start[ce] + (rng.rand(n_i) * sizes[ce]).astype(np.int64)
-    row_o = rng.randint(0, M, E - n_i)
-    col_o = rng.randint(0, M, E - n_i)
-    return SparseTensor(
-        row=np.concatenate([row_i, row_o]),
-        col=np.concatenate([col_i, col_o]),
-        value=rng.randn(E).astype(np.float32),
-        sparse_sizes=(M, M),
-    ).coalesce("add")
+    """Planted-community graph in cluster order — the shared generator
+    (``testing.community_graph``) all benches measure."""
+    from pytorch_sparse_tpu.testing import community_graph
+
+    return community_graph(M, E, n_comm=parts, intra_p=intra,
+                           seed=seed, equal_sizes=True)
 
 
 @pytest.fixture(scope="module")
