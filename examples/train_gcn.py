@@ -72,12 +72,22 @@ def train_single(args):
 
 def train_distributed(args):
     from pytorch_sparse_tpu.models import DistGCN
-    from pytorch_sparse_tpu.parallel import ShardedSparseMatrix, make_mesh
+    from pytorch_sparse_tpu.parallel import (
+        HierShardedSparseMatrix, ShardedSparseMatrix, make_mesh,
+        make_mesh_hier,
+    )
 
     adj, x, labels = synthetic_graph(args.nodes, args.edges, args.features,
                                      args.classes)
-    mesh = make_mesh()
-    Ash = ShardedSparseMatrix.from_sparse_tensor(adj, mesh)
+    if args.slices > 1:
+        # Hierarchical (DCN x ICI) layout: intra-slice halos on ICI,
+        # slice-deduped unions on DCN (parallel/hier.py).
+        n = len(jax.devices())
+        mesh = make_mesh_hier(args.slices, n // args.slices)
+        Ash = HierShardedSparseMatrix.from_sparse_tensor(adj, mesh)
+    else:
+        mesh = make_mesh()
+        Ash = ShardedSparseMatrix.from_sparse_tensor(adj, mesh)
     xs = Ash.shard_dense(x)
     n_pad = Ash.P * Ash.Nb
     lab = np.zeros((n_pad,), np.int32)
@@ -95,7 +105,7 @@ def train_distributed(args):
     @jax.jit
     def step(params, opt_state, Ash, xs, labels_s, mask_s):
         return DistGCN.train_step(params, opt_state, Ash, xs, labels_s,
-                                  mask_s, optimizer, schedule="ring")
+                                  mask_s, optimizer)
 
     loss = None
     for _ in range(args.epochs):
@@ -114,5 +124,9 @@ if __name__ == "__main__":
     p.add_argument("--classes", type=int, default=7)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--distributed", action="store_true")
+    p.add_argument("--slices", type=int, default=1,
+                   help="with --distributed: split the mesh into this "
+                        "many DCN-connected slices (hierarchical "
+                        "schedule, parallel/hier.py)")
     args = p.parse_args()
     (train_distributed if args.distributed else train_single)(args)
