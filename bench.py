@@ -19,11 +19,13 @@ Two graphs are measured through the SAME public entry point
   VMEM, ``benchmarks/probe_vmem_gather.py``).
 
 Protocol mirrors the reference harness (``benchmark/main.py:61-91``):
-correctness pre-pass against a dense-oracle slice, then synchronized
-timing.  Timing uses the slope method (benchmarks/timing.py) because
-``block_until_ready`` does not block through the remote-TPU tunnel.
-All matmuls run at fp32 HIGHEST precision (this XLA build would
-otherwise run f32 dots at bf16 precision).
+correctness pre-pass against a host CSR-walk oracle (head + tail + 512
+random rows), then synchronized timing.  Timing uses the slope method
+(benchmarks/timing.py) because ``block_until_ready`` does not block
+through the remote-TPU tunnel.  The gather/ELL paths run at fp32
+HIGHEST precision; the MXU block/dense dots use the library default
+``Precision.HIGH`` (bf16x3 — f32-equivalent products, 3 passes; see
+``ops/kernels/hybrid.py:set_block_precision``).
 
 ``vs_baseline`` = achieved nnz/s divided by the BASELINE.json target
 (80% of the HBM-bandwidth roofline at this K), where the roofline
@@ -78,17 +80,69 @@ def _community_graph(ts):
     return A, M, int(A.nnz())
 
 
+def _reddit_full_graph(ts):
+    """FULL Reddit shape (232,965 nodes / ~115M nnz): the eval-scale
+    community config (BASELINE.json Reddit row; the reference protocol
+    benches full-size matrices, ``benchmark/main.py:13-29``).  The
+    auto-router lands on the block hybrid (f32 blocks, ~7.5 GB of the
+    16 GB HBM); the tensor rides as a jit ARGUMENT (closure constants
+    at this size degrade/reject the remote compile)."""
+    from pytorch_sparse_tpu.testing import community_graph
+
+    M = 232_965
+    A = community_graph(M, 160_000_000, n_comm=50, seed=4,
+                        equal_sizes=True)
+    return A, M, int(A.nnz())
+
+
+def oracle_check(A, mat, out, M, seed=7, n_random=512, atol_rel=2e-3):
+    """CSR-walk host oracle over head + tail + a random row sample.
+
+    The head-only slice of earlier rounds would miss e.g. a
+    bucket-boundary fault past row 256; the random sample plus the tail
+    block covers every format region (dense blocks, ELL buckets of all
+    caps, zero-degree tail).  The reference is computed directly from
+    the host CSR views in numpy — independent of every device code path
+    and cheap even at 100M+ nnz.  Returns (ok, max_rel_err)."""
+    rng = np.random.RandomState(seed)
+    rows = np.unique(np.concatenate([
+        np.arange(min(256, M)),
+        np.arange(max(0, M - 256), M),
+        rng.randint(0, M, n_random),
+    ]))
+    rp = np.asarray(A.storage.numpy_view("rowptr"), np.int64)
+    col = np.asarray(A.storage.numpy_view("col"), np.int64)
+    value = A.storage.value()
+    mat_np = np.asarray(mat)
+    starts, lens = rp[rows], rp[rows + 1] - rp[rows]
+    rix = np.repeat(np.arange(rows.size), lens)
+    e = np.arange(lens.sum()) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    ) + starts[rix]
+    contrib = mat_np[col[e]]
+    if value is not None:
+        contrib = contrib * np.asarray(value)[e, None]
+    ref = np.zeros((rows.size, mat_np.shape[1]), np.float64)
+    np.add.at(ref, rix, contrib.astype(np.float64))
+    got = np.asarray(out)[rows]
+    scale = np.abs(ref).max() + 1e-6
+    err = float(np.abs(got - ref).max() / scale)
+    return bool(err <= atol_rel), err
+
+
 def _measure(ts, device_time, A, M, E, label):
     mat = jnp.asarray(
         np.random.RandomState(2).randn(M, K).astype(np.float32)
     )
     out = ts.spmm_sum(A, mat)      # triggers auto format selection
-    sl = A[:256]
-    ref = np.asarray(sl.to_dense()) @ np.asarray(mat)
-    got = np.asarray(out[:256])
-    scale = np.abs(ref).max() + 1e-6
-    ok = np.allclose(got, ref, atol=2e-3 * scale)
-    routed = "hybrid" if A.storage.has_hybrid() else "ell"
+    ok, err = oracle_check(A, mat, out, M)
+    if A.storage.has_hybrid():
+        h = A.storage.hybrid(auto=False)
+        routed = type(h).__name__.replace("Format", "").lower()
+        if getattr(h, "blocks", None) is not None:
+            routed += f"[{h.blocks.dtype}]"
+    else:
+        routed = "ell"
     # Small tables compile ~25% faster as closure constants; big ones
     # must ride as jit arguments (remote-compile body limit) — pass as
     # argument above 32 MB of edge data.
@@ -99,7 +153,8 @@ def _measure(ts, device_time, A, M, E, label):
     roofline, target = _roofline_target(M, E)
     return {
         "graph": label, "nodes": M, "nnz": E, "routed": routed,
-        "ok": bool(ok), "ms_per_spmm": round(dt * 1e3, 3),
+        "ok": bool(ok), "oracle_rel_err": round(err, 8),
+        "ms_per_spmm": round(dt * 1e3, 3),
         "nnz_per_s": round(E / dt, 1),
         "roofline_nnz_per_s": round(roofline, 1),
         "vs_baseline": round(E / dt / target, 4),
@@ -115,12 +170,15 @@ def main():
                    "community (Reddit-10% density, METIS order)")
     uni = _measure(ts, device_time, *_uniform_graph(ts),
                    "uniform (ogbn-arxiv scale, adversarial)")
+    red = _measure(ts, device_time, *_reddit_full_graph(ts),
+                   "reddit-full (233K nodes / 115M nnz, community)")
 
-    if not (com["ok"] and uni["ok"]):
+    if not (com["ok"] and uni["ok"] and red["ok"]):
         print(json.dumps({
             "metric": "spmm_nnz_per_s", "value": 0.0, "unit": "nnz/s",
             "vs_baseline": 0.0, "error": "correctness check failed",
-            "detail": {"community": com, "uniform": uni},
+            "detail": {"community": com, "uniform": uni,
+                       "reddit_full": red},
         }))
         return
 
@@ -130,9 +188,12 @@ def main():
         "unit": "nnz/s",
         "vs_baseline": com["vs_baseline"],
         "detail": {
-            "K": K, "dtype": "float32 (HIGHEST)",
+            "K": K,
+            "dtype": "float32 (gather paths HIGHEST; MXU block dots "
+                     "HIGH = bf16x3, f32-equivalent)",
             "community": com,
             "uniform": uni,
+            "reddit_full": red,
             "device": str(jax.devices()[0]),
         },
     }))

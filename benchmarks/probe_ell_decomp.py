@@ -55,9 +55,11 @@ def build():
     return A, mat
 
 
-def report(name, dt, note=""):
-    print(f"{name:28s} {dt * 1e3:7.3f} ms  {E / dt / 1e6:7.1f} Mnnz/s"
-          f"  {note}")
+def report(name, dt, note="", work=None, unit="Mnnz/s"):
+    """``work`` is the probe's own work count (edges, rows moved, or
+    slots — NOT always whole-graph E); omitted -> no throughput column."""
+    rate = f"{work / dt / 1e6:7.1f} {unit}" if work else " " * 15
+    print(f"{name:28s} {dt * 1e3:7.3f} ms  {rate}  {note}")
 
 
 def main():
@@ -70,7 +72,7 @@ def main():
 
     # 0. full production path
     dt = device_time(lambda m: ts.spmm_sum(A, m), mat)
-    report("full spmm_sum", dt)
+    report("full spmm_sum", dt, work=E)
 
     # 1. raw gather floor: one pass over mat[col] reduced to (K,)
     col = A.storage.col()
@@ -78,16 +80,18 @@ def main():
         lambda m: m + jnp.sum(jnp.take(m, col, axis=0), axis=0)[None, :],
         mat,
     )
-    report("gather+reduce-to-K", dt, "(fusion probe: gather into reduce)")
+    report("gather+reduce-to-K", dt, "(fusion probe: gather into reduce)",
+           work=E)
 
-    # 2. gather materialized: take -> separate sum (forced by donating
-    #    through an explicit intermediate that XLA cannot elide)
+    # 2. gather genuinely materialized: an optimization_barrier between
+    #    the take and the sum keeps XLA from fusing the gather into the
+    #    reduce (a scalar multiply would fuse and measure nothing).
     def two_pass(m):
-        h = jnp.take(m, col, axis=0) * 1.0000001
+        h = jax.lax.optimization_barrier(jnp.take(m, col, axis=0))
         return m + jnp.sum(h, axis=0)[None, :]
 
     dt = device_time(two_pass, mat)
-    report("gather*c then reduce", dt)
+    report("gather|barrier|reduce", dt, work=E)
 
     # 3. ell_spmm minus the final inv_perm gather
     def no_perm(m):
@@ -105,9 +109,9 @@ def main():
     dt = device_time(
         lambda c, m: no_perm(m + c[:1, :1] * 1e-30), out_bucket, mat
     )
-    report("ell minus inv_perm", dt)
+    report("ell minus inv_perm", dt, work=E)
 
-    # 4. the inv_perm gather alone at (M, K)
+    # 4. the inv_perm gather alone at (M, K): work unit = M rows moved
     out_full = jnp.zeros((M, K), mat.dtype)
     dt = device_time(
         lambda c, o: jnp.take(
@@ -116,11 +120,31 @@ def main():
         ),
         out_full, out_bucket,
     )
-    report("inv_perm take alone", dt)
+    report("inv_perm take alone", dt, work=M, unit="Mrow/s")
 
     # 5. ell_spmm with implicit ones (drop value gather+multiply)
     dt = device_time(lambda m: ellmod.ell_spmm(ell, None, m), mat)
-    report("ell value=None", dt)
+    report("ell value=None", dt, work=E)
+
+    # 5b. BAKED values: pre-gathered (R, cap) slot-layout value tables
+    #     (padding slots = 0) replace the per-slot 4 B-granule gather of
+    #     value_pad[eids] with contiguous reads — the candidate format
+    #     cache for the production path.
+    value_pad = jnp.concatenate([value, jnp.zeros((1,), value.dtype)])
+    baked = [jnp.take(value_pad, eids, axis=0) for eids in ell.eids]
+
+    def baked_spmm(m):
+        outs = [
+            ellmod._bucket_sum(m, idx, vals)
+            for idx, vals in zip(ell.idxs, baked)
+        ]
+        stk = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        if ell.n_zero:
+            stk = jnp.pad(stk, ((0, ell.n_zero), (0, 0)))
+        return jnp.take(stk, ell.inv_perm, axis=0)
+
+    dt = device_time(baked_spmm, mat)
+    report("ell baked values (full)", dt, work=E)
 
     # 6. single bucket at its own cap: 2-D-index gather+sum vs unrolled
     #    chain (fusion probe at cap 8)
@@ -140,15 +164,14 @@ def main():
 
     dt = device_time(lambda m: m + jnp.sum(chain(m), axis=0)[None], mat)
     report(f"bucket[{bi}] cap={cap} chain", dt,
-           f"({En / dt / 1e6:.0f} Mslot/s over {En} slots)")
+           f"(over {En} slots)", work=En, unit="Mslot/s")
 
     def wide(m):
         h = jnp.take(m, idx, axis=0) * vals[..., None]   # (R, cap, K)
         return jnp.sum(h, axis=1)
 
     dt = device_time(lambda m: m + jnp.sum(wide(m), axis=0)[None], mat)
-    report(f"bucket[{bi}] cap={cap} 2-D take", dt,
-           f"({En / dt / 1e6:.0f} Mslot/s)")
+    report(f"bucket[{bi}] cap={cap} 2-D take", dt, work=En, unit="Mslot/s")
 
 
 if __name__ == "__main__":

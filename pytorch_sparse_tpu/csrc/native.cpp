@@ -84,14 +84,75 @@ static inline int64_t rng_below(Rng *r, int64_t n) {
 // Outputs: out_rowptr (n_idx+1), out_col/out_eid (E_out), n_id.
 // Per-row cols sorted by local id. Returns the n_id count.
 // ---------------------------------------------------------------------
+// Per-(stream, element) RNG stream: the draws for one frontier row are
+// a function of (seed, stream, element) alone, so (a) OpenMP workers
+// need no shared RNG state, (b) results are identical at any thread
+// count, and (c) the count-pass/fill-pass two-phase protocol samples
+// identically by construction.
+static inline void rng_seed_at(Rng *r, uint64_t seed, uint64_t stream,
+                               uint64_t element) {
+  rng_seed(&r[0], seed ^ (0x9e3779b97f4a7c15ULL * (stream + 1)) ^
+                      (0xbf58476d1ce4e5b9ULL * (element + 1)));
+}
+
+// Candidate-generation pass shared by sample_adj / neighbor_sample:
+// fills buf[offs[i]..offs[i+1]) with the drawn edge ids for frontier
+// position i (absolute into the index arrays).  offs must hold the
+// exact per-row sample sizes:
+//   deg          if num < 0 or (!replace and num >= deg)
+//   num          if replace and deg > 0
+//   num          otherwise (Robert-Floyd without replacement)
+// Row-internal order matches the serial formulation's per-branch order.
+static void draw_candidates(const int64_t *ptr, const int64_t *frontier,
+                            int64_t n_front, int64_t num, int32_t replace,
+                            uint64_t seed, uint64_t stream,
+                            const int64_t *offs, int64_t *buf) {
+  const int par = n_front >= 64 && offs[n_front] >= 4096;
+#pragma omp parallel for schedule(dynamic, 64) if (par)
+  for (int64_t i = 0; i < n_front; i++) {
+    const int64_t w = frontier[i];
+    const int64_t start = ptr[w], deg = ptr[w + 1] - ptr[w];
+    const int64_t ni = offs[i + 1] - offs[i];
+    if (ni == 0) continue;
+    int64_t *dst = buf + offs[i];
+    if (num < 0 || (!replace && num >= deg)) {
+      for (int64_t j = 0; j < deg; j++) dst[j] = start + j;
+      continue;
+    }
+    Rng rng;
+    rng_seed_at(&rng, seed, stream, (uint64_t)i);
+    if (replace) {
+      for (int64_t j = 0; j < num; j++)
+        dst[j] = start + rng_below(&rng, deg);
+    } else {
+      // Robert Floyd sampling without replacement.
+      std::unordered_set<int64_t> perm;
+      perm.reserve(num * 2);
+      int64_t k = 0;
+      for (int64_t j = deg - num; j < deg; j++) {
+        int64_t rnd = rng_below(&rng, j);
+        if (!perm.insert(rnd).second) {
+          rnd = j;
+          perm.insert(j);
+        }
+        dst[k++] = start + rnd;
+      }
+    }
+  }
+}
+
+static inline int64_t sample_size_of(int64_t deg, int64_t num,
+                                     int32_t replace) {
+  if (deg == 0) return 0;
+  if (num < 0 || (!replace && num >= deg)) return deg;
+  return num;
+}
+
 int64_t sample_adj(const int64_t *rowptr, const int64_t *col, int64_t n_nodes,
                    const int64_t *idx, int64_t n_idx, int64_t num_neighbors,
                    int32_t replace, uint64_t seed, int64_t *out_rowptr,
                    int64_t *out_col, int64_t *out_eid, int64_t *n_id) {
   (void)n_nodes;
-  Rng rng;
-  rng_seed(&rng, seed);
-
   std::unordered_map<int64_t, int64_t> n_id_map;
   n_id_map.reserve(2 * n_idx);
   int64_t n_count = 0;
@@ -100,16 +161,26 @@ int64_t sample_adj(const int64_t *rowptr, const int64_t *col, int64_t n_nodes,
     n_id[n_count++] = idx[i];
   }
 
+  // Parallel candidate draw (per-seed RNG streams), then a sequential
+  // relabel merge in frontier order (the hash-map growth is inherently
+  // ordered; the reference parallelizes the same way in its ego
+  // sampler, cpu/ego_sample_cpu.cpp:34).
+  std::vector<int64_t> offs(n_idx + 1, 0);
+  for (int64_t i = 0; i < n_idx; i++) {
+    const int64_t deg = rowptr[idx[i] + 1] - rowptr[idx[i]];
+    offs[i + 1] = offs[i] + sample_size_of(deg, num_neighbors, replace);
+  }
+  std::vector<int64_t> buf(offs[n_idx]);
+  draw_candidates(rowptr, idx, n_idx, num_neighbors, replace, seed,
+                  /*stream=*/0, offs.data(), buf.data());
+
   std::vector<std::pair<int64_t, int64_t>> row_buf;  // (local col, e_id)
   int64_t out_pos = 0;
   out_rowptr[0] = 0;
-
   for (int64_t i = 0; i < n_idx; i++) {
-    const int64_t v = idx[i];
-    const int64_t start = rowptr[v], deg = rowptr[v + 1] - rowptr[v];
     row_buf.clear();
-
-    auto push = [&](int64_t e) {
+    for (int64_t t = offs[i]; t < offs[i + 1]; t++) {
+      const int64_t e = buf[t];
       const int64_t c = col[e];
       auto it = n_id_map.find(c);
       int64_t local;
@@ -121,26 +192,7 @@ int64_t sample_adj(const int64_t *rowptr, const int64_t *col, int64_t n_nodes,
         local = it->second;
       }
       row_buf.emplace_back(local, e);
-    };
-
-    if (num_neighbors < 0) {
-      for (int64_t j = 0; j < deg; j++) push(start + j);
-    } else if (replace) {
-      if (deg > 0)
-        for (int64_t j = 0; j < num_neighbors; j++)
-          push(start + rng_below(&rng, deg));
-    } else if (deg <= num_neighbors) {
-      for (int64_t j = 0; j < deg; j++) push(start + j);
-    } else {
-      // Robert Floyd sampling without replacement.
-      std::unordered_set<int64_t> perm;
-      perm.reserve(num_neighbors * 2);
-      for (int64_t j = deg - num_neighbors; j < deg; j++) {
-        if (!perm.insert(rng_below(&rng, j)).second) perm.insert(j);
-      }
-      for (const int64_t p : perm) push(start + p);
     }
-
     std::sort(row_buf.begin(), row_buf.end());
     for (const auto &pr : row_buf) {
       out_col[out_pos] = pr.first;
@@ -168,9 +220,6 @@ void neighbor_sample(const int64_t *colptr, const int64_t *row,
                      int64_t *out_rows, int64_t *out_cols,
                      int64_t *out_edges) {
   (void)n_nodes;
-  Rng rng;
-  rng_seed(&rng, seed);
-
   std::vector<int64_t> samples(input_node, input_node + n_input);
   std::unordered_map<int64_t, int64_t> to_local;
   to_local.reserve(4 * n_input);
@@ -189,30 +238,27 @@ void neighbor_sample(const int64_t *colptr, const int64_t *row,
     }
   };
 
+  // Per hop: parallel candidate draw over the frontier (per-(hop, row)
+  // RNG streams — thread-count invariant), then a sequential relabel
+  // merge in frontier order so the to_local growth stays deterministic.
   int64_t begin = 0, end = (int64_t)samples.size();
+  std::vector<int64_t> offs, buf;
   for (int64_t ell = 0; ell < num_hops; ell++) {
     const int64_t num = num_neighbors[ell];
-    for (int64_t i = begin; i < end; i++) {
-      const int64_t w = samples[i];
-      const int64_t start = colptr[w], deg = colptr[w + 1] - colptr[w];
-      if (deg == 0) continue;
-      if (num < 0 || (!replace && num >= deg)) {
-        for (int64_t j = 0; j < deg; j++) visit(start + j, i);
-      } else if (replace) {
-        for (int64_t j = 0; j < num; j++)
-          visit(start + rng_below(&rng, deg), i);
-      } else {
-        std::unordered_set<int64_t> perm;
-        for (int64_t j = deg - num; j < deg; j++) {
-          int64_t rnd = rng_below(&rng, j);
-          if (!perm.insert(rnd).second) {
-            rnd = j;
-            perm.insert(j);
-          }
-          visit(start + rnd, i);
-        }
-      }
+    const int64_t n_front = end - begin;
+    offs.assign(n_front + 1, 0);
+    for (int64_t i = 0; i < n_front; i++) {
+      const int64_t w = samples[begin + i];
+      const int64_t deg = colptr[w + 1] - colptr[w];
+      offs[i + 1] = offs[i] + sample_size_of(deg, num, replace);
     }
+    buf.resize(offs[n_front]);
+    draw_candidates(colptr, samples.data() + begin, n_front, num,
+                    replace, seed, /*stream=*/(uint64_t)(ell + 1),
+                    offs.data(), buf.data());
+    for (int64_t i = 0; i < n_front; i++)
+      for (int64_t t = offs[i]; t < offs[i + 1]; t++)
+        visit(buf[t], begin + i);
     begin = end;
     end = (int64_t)samples.size();
   }

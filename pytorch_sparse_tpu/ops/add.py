@@ -28,8 +28,9 @@ def _broadcast_nnz(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
         col = src.storage.col()
         return jnp.reshape(other, (N,) + other.shape[2:])[col]
     raise ValueError(
-        f"Size mismatch: Expected size ({M}, 1, ...) or (1, {N}, ...), "
-        f"but got size {other.shape}."
+        f"broadcast operand of shape {other.shape} does not match the "
+        f"sparse operand: need ({M}, 1, ...) for row-wise or "
+        f"(1, {N}, ...) for col-wise broadcasting"
     )
 
 

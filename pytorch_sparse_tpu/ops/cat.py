@@ -48,10 +48,10 @@ def cat(
             value = jnp.concatenate(values, axis=dim - 1)
             return tensors[0].set_value(value, layout="coo")
         else:
+            nd = tensors[0].dim()
             raise IndexError(
-                f"Dimension out of range: Expected to be in range of "
-                f"[{-tensors[0].dim()}, {tensors[0].dim() - 1}], but got "
-                f"{dim}."
+                f"cat dim {dim} is outside the valid range "
+                f"[{-nd}, {nd - 1}] for {nd}-dimensional sparse tensors"
             )
     else:
         assert isinstance(dim, (tuple, list))

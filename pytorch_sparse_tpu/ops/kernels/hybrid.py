@@ -2,57 +2,77 @@
 
 TPU measurement (BASELINE.md): a K-wide row gather reads one 512 B HBM
 row per nnz with no cache behind it, so the gather/ELL path is stuck at
-~600 B/nnz regardless of ordering.  A dense matmul producing the same
-output costs 0.26 ms — the MXU is effectively free next to the gather.
-On community graphs (Reddit-like, avg degree hundreds), a METIS-ordered
-adjacency concentrates most edges in a few percent-dense diagonal-ish
-blocks; storing those blocks DENSE converts their SpMM into batched
-(B, B) @ (B, K) MXU matmuls whose HBM traffic is one block read per
-(row-block, col-block) pair instead of one 512 B row per nnz.
+~600 B/nnz regardless of ordering.  On community graphs (Reddit-like,
+avg degree hundreds), a METIS-ordered adjacency concentrates most edges
+in a few percent-dense diagonal-ish blocks; storing those blocks DENSE
+converts their SpMM into batched (B, B) @ (B, K) MXU matmuls whose HBM
+traffic is one block read per (row-block, col-block) pair instead of
+one 512 B row per nnz.
 
-Break-even per block: densifying pays when ``E_blk * (K*4 + 12)`` (the
-gather traffic) exceeds ``B*B*4`` (the block read), i.e. density above
-``1 / (K + 3)`` ≈ 0.76% at K=128 (independent of B).  Everything below
-the threshold stays in the scatter-free ELL path — though note the
-measured ELL path runs well below its roofline at large M, so a lower
-threshold often wins in practice.
+Densify break-even per block (MEASURED-rate form, VERDICT r2 item 1b):
+a dense block costs its HBM read (``B*B*elem`` at ~819 GB/s) plus the
+batched-matmul temporaries (~2x the X-block bytes) plus its MXU time,
+~2.8 us at B=512/f32/K=128; the scatter-free ELL path moves one edge
+per ~2.9 ns (344 Mnnz/s measured at arxiv scale — and slower at larger
+M, so this threshold is conservative).  Densifying pays above
+``t_block / t_ell_edge`` edges per block — ~0.36% density at B=512,
+about half the traffic-only theoretical 1/(K+3) the earlier rounds
+used.  ``ops.kernels.hybrid.block_break_even`` computes it.
 
 Format (a registered pytree, built eagerly host-side like the ELL
-views):
+views) — the dense part is a SLOT LIST over occupied above-threshold
+blocks only:
 
-* ``blocks``  (nb+1, B, B)  dense block values, row-major within the
-  block; slot nb is the all-zero block for padding.
-* ``btab``    (R, W) int32  per row-block: dense-block slot per term
-  (sentinel nb).
-* ``ctab``    (R, W) int32  per row-block: col-block index per term
-  (sentinel points at a zero X block appended at position C).
-* ``btab_t``/``ctab_t``  (C, Wt) int32  the same terms grouped by
-  COL-block (``ctab_t`` holds the row-block index; sentinel R) — the
-  transpose tables backing ``hybrid_spmm_t`` (grad_mat = A^T @ grad,
+* ``blocks``   (nb+1, B, B) dense block values in (row-block,
+  col-block) lexicographic order; slot nb is an all-zero block used
+  only as chunk padding.
+* ``slot_row`` (nb_pad,) int32 row-block of each slot (sorted;
+  padding = R, dropped by the segment-sum).
+* ``slot_col`` (nb_pad,) int32 col-block of each slot (padding = 0,
+  harmless: it multiplies the zero block).
+* ``order_t``  (nb,) int32 slot permutation sorted by col-block — the
+  transpose schedule backing ``hybrid_spmm_t`` (grad_mat = A^T @ grad,
   reference ``csrc/spmm.cpp:100-108``).
-* ``ell``     (EllFormat, baked_vals) | None — the remainder
-  (sub-threshold) edges; ``ell_t`` is the remainder's transpose view.
-* ``rest_ids``  (E_rest,) int32 — original edge id of each remainder
-  edge (in the remainder's row-sorted order), so a live ``value``
-  vector can drive the remainder instead of the baked values.
+* ``ell`` / ``ell_t`` / ``rest_ids`` — the sub-threshold remainder as
+  in the ELL path (live ``value`` vectors drive it via ``rest_ids``).
 
-Forward: ``out_blocks[r] = Σ_w blocks[btab[r, w]] @ Xb[ctab[r, w]]`` —
-a ``lax`` loop of gathers with multi-MB granules plus batched matmuls —
-then ``+ ell_spmm(remainder)``.  All static shapes.
+Forward (``hybrid_spmm``)::
+
+    tmp[s] = blocks[s] @ xb[slot_col[s]]          # ONE batched matmul
+    outb   = segment_sum(tmp, slot_row, R)        # sorted, R segments
+    out    = outb.reshape(R*B, K)[:M] + ell_spmm(remainder)
+
+versus the round-2 formulation, which looped a (R, W) padded slot table
+whose sentinel entries GATHERED the zero block (real HBM traffic) and
+materialized an (R, B, B) block gather per step — the slot list visits
+each occupied block exactly once and reads ``blocks`` contiguously.
+Probe: ``benchmarks/probe_hybrid_forms.py``.
+
+Block-dot precision: TPU MXUs multiply in bf16; an f32 "HIGHEST" dot
+costs 6 passes.  The block matmuls default to ``Precision.HIGH``
+(bf16x3: f32-equivalent products at 3 passes — measured ~1e-6 relative
+error vs ~2e-3 for the 1-pass ``DEFAULT`` on Reddit-density rows)
+independent of the global ``jax_default_matmul_precision``; override
+per call or with :func:`set_block_precision`.
+
+``DenseFormat``: when the WHOLE matrix clears the densify threshold
+(e.g. Reddit-10%: 2.1% dense) and fits the HBM budget, the same logic
+degenerates to one (M, N) dense matmul — no tables, no segment-sum.
+The storage auto-router builds it in that regime.
 
 Gradients: the dense blocks bake the build-time values, so the
-differentiable wrapper (``ops/matmul.py:_hybrid_spmm_sum``) requires the
-``value`` argument to equal the values the format was built from (the
-``SparseStorage`` cache guarantees this: ``set_value`` invalidates the
-hybrid view).  At that point ``grad_mat = A^T @ grad`` runs through the
-transpose tables on the MXU, and ``grad_value[e] = <mat[col_e],
-grad[row_e]>`` is exact for every edge independent of the baked blocks
-(the output is linear in value).
+differentiable wrapper (``ops/matmul.py:_hybrid_spmm_sum``) requires
+the ``value`` argument to equal the values the format was built from
+(the ``SparseStorage`` cache guarantees this: ``set_value`` invalidates
+the hybrid view).  ``grad_mat = A^T @ grad`` runs through ``order_t``
+on the MXU, and ``grad_value[e] = <mat[col_e], grad[row_e]>`` is exact
+for every edge independent of the baked blocks (the output is linear in
+value).
 """
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,15 +82,70 @@ from .ell import EllFormat, build_ell, ell_spmm
 from ...utils.host_sort import lexsort2, stable_argsort
 
 
+# ----------------------------------------------------------------------
+# Block-dot precision knob (VERDICT r2 item 1a).
+# ----------------------------------------------------------------------
+
+_BLOCK_PRECISION = jax.lax.Precision.HIGH
+
+
+def set_block_precision(precision) -> None:
+    """Set the default ``jax.lax.Precision`` of the hybrid/dense block
+    matmuls.  Library default: ``HIGH`` (bf16x3 — each f32 operand is
+    split into three bf16 terms, giving f32-equivalent products at 3
+    MXU passes; measured rel err ~1e-6 on Reddit-density rows vs 2e-3
+    for the 1-pass ``DEFAULT``, at a fraction of ``HIGHEST``'s 6
+    passes — and the dense-route matmul stays HBM-bound anyway).  Pass
+    ``DEFAULT`` for maximum MXU throughput when ~0.2% relative error is
+    acceptable, or ``HIGHEST`` for full f32."""
+    global _BLOCK_PRECISION
+    _BLOCK_PRECISION = precision
+
+
+def get_block_precision():
+    return _BLOCK_PRECISION
+
+
+def _prec(precision):
+    return _BLOCK_PRECISION if precision is None else precision
+
+
+# Measured constants behind the break-even (v5e, BASELINE.md).
+_HBM_BW = 819e9          # bytes/s
+_MXU_BF16 = 197e12       # flops/s (bf16 multiply, f32 accumulate)
+_ELL_NS_PER_NNZ = 2.9    # measured scatter-free edge cost at arxiv scale
+
+
+def block_break_even(B: int, K_hint: int = 128, elem: int = 4) -> float:
+    """Minimum block density at which densifying beats the ELL path,
+    from MEASURED rates: block cost = block read + ~2x X-block
+    temporaries + MXU time; edge cost = measured ELL ns/nnz."""
+    t_block = (
+        (B * B * elem + 3 * B * K_hint * 4) / _HBM_BW
+        + 2.0 * B * B * K_hint / _MXU_BF16
+    )
+    edges = t_block / (_ELL_NS_PER_NNZ * 1e-9)
+    return min(edges / (B * B), 1.0)
+
+
+# Bound on the (chunk, B, K) batched-matmul temporaries.
+_CHUNK_BYTES = 512 << 20
+
+
+def _slot_chunk(B: int, K: int, elem: int = 4) -> int:
+    return max(1, _CHUNK_BYTES // max(B * K * elem, 1))
+
+
 class HybridFormat:
-    def __init__(self, blocks, btab, ctab,
+    def __init__(self, blocks, slot_row, slot_col, order_t,
                  ell: Optional[Tuple[EllFormat, Any]],
                  M: int, N: int, B: int, dense_nnz: int,
                  row_map=None, M_pad: int = 0,
-                 btab_t=None, ctab_t=None, ell_t=None, rest_ids=None):
+                 ell_t=None, rest_ids=None):
         self.blocks = blocks
-        self.btab = btab
-        self.ctab = ctab
+        self.slot_row = slot_row
+        self.slot_col = slot_col
+        self.order_t = order_t
         self.ell = ell
         self.M, self.N, self.B = M, N, B
         self.dense_nnz = dense_nnz
@@ -80,35 +155,71 @@ class HybridFormat:
         # scatters/gathers x/out through the map.
         self.row_map = row_map
         self.M_pad = M_pad
-        self.btab_t = btab_t
-        self.ctab_t = ctab_t
         self.ell_t = ell_t
         self.rest_ids = rest_ids
 
+    @property
+    def nb(self) -> int:
+        return int(self.order_t.shape[0])
+
     def __repr__(self) -> str:
-        nb = int(self.blocks.shape[0]) - 1
         return (
             f"HybridFormat(M={self.M}, N={self.N}, B={self.B}, "
-            f"blocks={nb}, dense_nnz={self.dense_nnz})"
+            f"blocks={self.nb}, dense_nnz={self.dense_nnz})"
         )
 
 
 def _hyb_flatten(h: HybridFormat):
-    return ((h.blocks, h.btab, h.ctab, h.ell, h.row_map, h.btab_t,
-             h.ctab_t, h.ell_t, h.rest_ids),
+    return ((h.blocks, h.slot_row, h.slot_col, h.order_t, h.ell,
+             h.row_map, h.ell_t, h.rest_ids),
             (h.M, h.N, h.B, h.dense_nnz, h.M_pad))
 
 
 def _hyb_unflatten(aux, children):
-    (blocks, btab, ctab, ell, row_map, btab_t, ctab_t, ell_t,
+    (blocks, slot_row, slot_col, order_t, ell, row_map, ell_t,
      rest_ids) = children
     M, N, B, dense_nnz, M_pad = aux
-    return HybridFormat(blocks, btab, ctab, ell, M, N, B, dense_nnz,
-                        row_map, M_pad, btab_t, ctab_t, ell_t, rest_ids)
+    return HybridFormat(blocks, slot_row, slot_col, order_t, ell, M, N,
+                        B, dense_nnz, row_map, M_pad, ell_t, rest_ids)
 
 
 jax.tree_util.register_pytree_node(HybridFormat, _hyb_flatten,
                                    _hyb_unflatten)
+
+
+class DenseFormat:
+    """Whole-matrix dense store: the degenerate hybrid for matrices
+    whose OVERALL density clears the densify break-even (one MXU matmul
+    instead of block tables)."""
+
+    def __init__(self, dense, M: int, N: int):
+        self.dense = dense
+        self.M, self.N = M, N
+
+    def __repr__(self) -> str:
+        return f"DenseFormat(M={self.M}, N={self.N}, dtype={self.dense.dtype})"
+
+
+jax.tree_util.register_pytree_node(
+    DenseFormat,
+    lambda d: ((d.dense,), (d.M, d.N)),
+    lambda aux, ch: DenseFormat(ch[0], aux[0], aux[1]),
+)
+
+
+def build_dense(row: np.ndarray, col: np.ndarray,
+                value: Optional[np.ndarray], M: int, N: int,
+                dtype=None) -> DenseFormat:
+    """Materialize the full dense matrix host-side (duplicate edges
+    accumulate, matching SpMM-sum semantics on uncoalesced input)."""
+    dt = np.float32 if dtype is None else np.dtype(dtype)
+    acc_dt = np.float64 if dt == np.float64 else np.float32
+    dense = np.zeros((M, N), acc_dt)
+    v = np.ones(row.shape[0], acc_dt) if value is None else (
+        np.asarray(value).astype(acc_dt)
+    )
+    np.add.at(dense, (np.asarray(row, np.int64), np.asarray(col, np.int64)), v)
+    return DenseFormat(jnp.asarray(dense.astype(dt)), M, N)
 
 
 def dense_fraction(row: np.ndarray, col: np.ndarray, M: int, N: int,
@@ -122,7 +233,7 @@ def dense_fraction(row: np.ndarray, col: np.ndarray, M: int, N: int,
     if row.size == 0:
         return 0.0, 0
     if min_density is None:
-        min_density = 4.0 / (K_hint * 4 + 12)
+        min_density = block_break_even(B, K_hint)
     C = -(-N // B)
     bkey = (row // B) * C + col // B
     _, counts = np.unique(bkey, return_counts=True)
@@ -133,14 +244,15 @@ def dense_fraction(row: np.ndarray, col: np.ndarray, M: int, N: int,
 
 def build_hybrid(
     row: np.ndarray, col: np.ndarray, value: Optional[np.ndarray],
-    M: int, N: int, B: int = 1024,
+    M: int, N: int, B: int = 512,
     min_density: Optional[float] = None, K_hint: int = 128,
     block_dtype=None,
 ) -> HybridFormat:
     """Split edges into dense (B, B) blocks vs an ELL remainder.
 
     Host-side, eager (like the ELL build).  ``min_density`` defaults to
-    the traffic break-even for ``K_hint``-wide features.
+    the measured-rate break-even for ``K_hint``-wide features
+    (:func:`block_break_even`).
     """
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
@@ -155,9 +267,7 @@ def build_hybrid(
         if val.dtype.kind not in "fV":  # int/bool values -> f32 layout
             val = val.astype(np.float32)
     if min_density is None:
-        # gather bytes per nnz vs one extra block read amortized:
-        # 1 / (K + 3), independent of B
-        min_density = 4.0 / (K_hint * 4 + 12)
+        min_density = block_break_even(B, K_hint)
 
     R = -(-M // B)
     C = -(-N // B)
@@ -176,7 +286,7 @@ def build_hybrid(
     occ_is_dense = occ_counts >= thresh
     dense_sel = occ_is_dense[inv_key] if bkey.size else np.zeros(0, bool)
 
-    # --- dense part
+    # --- dense part: slot list over above-threshold blocks
     dsel = np.flatnonzero(dense_sel)
     dense_nnz = dsel.size
     dense_keys = occ_keys[occ_is_dense]  # sorted (np.unique output)
@@ -192,34 +302,9 @@ def build_hybrid(
             (occ_slot[inv_key[dsel]], row[dsel] % B, col[dsel] % B),
             val[dsel].astype(blk_dt),
         )
-    # per row-block slot tables: dense_keys is sorted, so one
-    # searchsorted split gives each row block's run.
-    row_of_key = dense_keys // C
-    col_of_key = dense_keys % C
-    starts = np.searchsorted(row_of_key, np.arange(R + 1))
-    key_counts = np.diff(starts)
-    W = max(int(key_counts.max()) if R else 1, 1)
-    btab = np.full((R, W), nb, np.int64)
-    ctab = np.full((R, W), C, np.int64)  # sentinel -> zero X block
-    if nb:
-        rix = np.repeat(np.arange(R), key_counts)
-        off = np.arange(nb) - np.repeat(starts[:-1], key_counts)
-        btab[rix, off] = np.arange(nb)
-        ctab[rix, off] = col_of_key
-
-    # Transpose tables: the same (slot, row-block) terms grouped by
-    # col-block, backing grad_mat = A^T @ grad.
-    order_t = stable_argsort(col_of_key)
-    starts_t = np.searchsorted(col_of_key[order_t], np.arange(C + 1))
-    key_counts_t = np.diff(starts_t)
-    Wt = max(int(key_counts_t.max()) if C else 1, 1)
-    btab_t = np.full((C, Wt), nb, np.int64)
-    ctab_t = np.full((C, Wt), R, np.int64)  # sentinel -> zero grad block
-    if nb:
-        cix = np.repeat(np.arange(C), key_counts_t)
-        off_t = np.arange(nb) - np.repeat(starts_t[:-1], key_counts_t)
-        btab_t[cix, off_t] = order_t
-        ctab_t[cix, off_t] = row_of_key[order_t]
+    slot_row = dense_keys // C          # sorted (keys are row-major)
+    slot_col = dense_keys % C
+    order_t = stable_argsort(slot_col)  # transpose schedule
 
     # --- ELL remainder (forward + transpose views; edge ids are
     # positions in the remainder's row-sorted order, rest_ids maps them
@@ -242,17 +327,17 @@ def build_hybrid(
                                          else np.int64))
 
     if block_dtype is not None:
-        # bf16 halves the block store and its read traffic; the default
-        # TPU f32 dot already runs at bf16 precision, so accuracy is
-        # unchanged unless Precision.HIGHEST is requested.  Cast on the
-        # host (ml_dtypes) so only half the bytes cross to the device.
+        # bf16 halves the block store and its read traffic; the block
+        # dots already multiply in bf16 at the DEFAULT precision, so
+        # accuracy changes little.  Cast on the host (ml_dtypes) so only
+        # half the bytes cross to the device.
         blocks = blocks.astype(np.dtype(block_dtype))
-    blocks_j = jnp.asarray(blocks)
     return HybridFormat(
-        blocks_j, jnp.asarray(btab.astype(np.int32)),
-        jnp.asarray(ctab.astype(np.int32)), ell, M, N, B, dense_nnz,
-        btab_t=jnp.asarray(btab_t.astype(np.int32)),
-        ctab_t=jnp.asarray(ctab_t.astype(np.int32)),
+        jnp.asarray(blocks),
+        jnp.asarray(slot_row.astype(np.int32)),
+        jnp.asarray(slot_col.astype(np.int32)),
+        jnp.asarray(order_t.astype(np.int32)),
+        ell, M, N, B, dense_nnz,
         ell_t=ell_t, rest_ids=rest_ids,
     )
 
@@ -289,25 +374,67 @@ def _rest_vals(h: HybridFormat, value):
 def _inner(h: HybridFormat) -> HybridFormat:
     """The padded-space view of a block-aligned format."""
     return HybridFormat(
-        h.blocks, h.btab, h.ctab, h.ell, h.M_pad, h.M_pad, h.B,
-        h.dense_nnz, btab_t=h.btab_t, ctab_t=h.ctab_t, ell_t=h.ell_t,
+        h.blocks, h.slot_row, h.slot_col, h.order_t, h.ell,
+        h.M_pad, h.M_pad, h.B, h.dense_nnz, ell_t=h.ell_t,
         rest_ids=h.rest_ids,
     )
 
 
-def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
-                precision=None, value=None) -> jnp.ndarray:
+def _block_pass(blocks, slot_row, slot_col, xb, R, B, K, acc_dtype,
+                precision):
+    """Forward dense-block pass: ``tmp[s] = blocks[s] @ xb[slot_col[s]]``
+    segment-summed into ``R`` output row blocks keyed by ``slot_row``
+    (sorted by construction).  ``blocks`` is read contiguously — no
+    block gather, no sentinel work.  Chunked so the (chunk, B, K)
+    batched-matmul temporaries stay bounded."""
+    nb = slot_col.shape[0]
+    out = jnp.zeros((R, B, K), acc_dtype)
+    if nb == 0:
+        return out
+    step = _slot_chunk(B, K, jnp.dtype(acc_dtype).itemsize)
+    for s in range(0, nb, step):
+        e = min(s + step, nb)
+        ab = jax.lax.slice_in_dim(blocks, s, e, axis=0)     # (c, B, B)
+        vb = jnp.take(xb, slot_col[s:e], axis=0)            # (c, B, K)
+        tmp = _mxu_einsum("sbc,sck->sbk", ab, vb, acc_dtype, precision)
+        out = out + jax.ops.segment_sum(
+            tmp, slot_row[s:e], num_segments=R,
+            indices_are_sorted=True,
+        )
+    return out
+
+
+def _mxu_einsum(eq, ab, vb, acc_dtype, precision):
+    """Batched block matmul with f32 (or f64) accumulation.
+
+    Half-precision block stores feed the MXU NATIVELY (casting the
+    small X/grad batch down instead of materializing an upcast copy of
+    the multi-GB block store); full-precision stores go through
+    ``precision`` (HIGH = bf16x3 by default)."""
+    if ab.dtype in (jnp.bfloat16, jnp.float16):
+        vb = vb.astype(ab.dtype)
+    else:
+        vb = vb.astype(acc_dtype)
+        ab = ab.astype(acc_dtype)
+    return jnp.einsum(eq, ab, vb, precision=precision,
+                      preferred_element_type=acc_dtype)
+
+
+def hybrid_spmm(h, x: jnp.ndarray, precision=None,
+                value=None) -> jnp.ndarray:
     """``out = A @ x`` through the hybrid format; (N, K) -> (M, K).
 
-    ``precision``: a ``jax.lax.Precision`` for the block matmuls.  This
-    XLA build runs f32 dots at bf16 precision by default — fine for GNN
-    propagation (relative error ~0.4% on deg-500 rows), pass
-    ``jax.lax.Precision.HIGHEST`` for full fp32 accumulation.
+    ``precision``: ``jax.lax.Precision`` for the block matmuls; ``None``
+    uses the module default (:func:`set_block_precision`, initially
+    ``HIGH`` = bf16x3, f32-equivalent products).
 
     ``value``: optional live edge-value vector driving the ELL
     remainder; MUST equal the build-time values (the dense blocks bake
     them) — the storage cache layer guarantees this.
     """
+    if isinstance(h, DenseFormat):
+        return dense_spmm(h, x, precision)
+    precision = _prec(precision)
     if h.row_map is not None:
         # Block-aligned layout: scatter x into padded positions, run,
         # gather back (row-granular ops, no per-edge scatters).
@@ -316,33 +443,21 @@ def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
 
     B, M, N = h.B, h.M, h.N
     K = x.shape[1]
+    R = -(-M // B)
     C = -(-N // B)
-    pad = C * B - N
-    xb = jnp.concatenate(
-        [x, jnp.zeros((pad, K), x.dtype)]) if pad else x
-    xb = xb.reshape(C, B, K)
-    # zero X block for sentinel ctab entries
-    xb = jnp.concatenate([xb, jnp.zeros((1, B, K), x.dtype)])
-
-    R, W = h.btab.shape
+    nb = h.nb
     # Half-precision inputs accumulate through f32 internally — the
     # library-wide SpMM contract (ell_spmm does the same); output keeps
     # x.dtype.
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
 
-    def step(w, acc):
-        ab = jnp.take(h.blocks, h.btab[:, w], axis=0)   # (R, B, B)
-        vb = jnp.take(xb, h.ctab[:, w], axis=0)         # (R, B, K)
-        return acc + jnp.einsum(
-            "rbc,rck->rbk", ab.astype(acc_dtype), vb.astype(acc_dtype),
-            precision=precision,
-        )
+    pad = C * B - N
+    xb = jnp.concatenate([x, jnp.zeros((pad, K), x.dtype)]) if pad else x
+    xb = xb.reshape(C, B, K)
 
-    # Sequential over slots: each step's (R, B, B) block gather is a
-    # ~GB-scale temp at large M — unrolling keeps W of them alive and
-    # OOMs; the loop reuses one.
-    out = jax.lax.fori_loop(
-        0, W, step, jnp.zeros((R, B, K), acc_dtype),
+    out = _block_pass(
+        h.blocks[:nb], h.slot_row, h.slot_col, xb, R, B, K, acc_dtype,
+        precision,
     )
     out = out.reshape(R * B, K)[:M].astype(x.dtype)
 
@@ -352,13 +467,15 @@ def hybrid_spmm(h: HybridFormat, x: jnp.ndarray,
     return out
 
 
-def hybrid_spmm_t(h: HybridFormat, g: jnp.ndarray,
-                  precision=None, value=None) -> jnp.ndarray:
-    """``out = A^T @ g`` through the transpose tables; (M, K) -> (N, K).
-
-    Backs ``grad_mat`` of the differentiable hybrid SpMM (reference
-    obtains the same transpose via the cached csr2csc permutation,
-    ``csrc/spmm.cpp:100-108``)."""
+def hybrid_spmm_t(h, g: jnp.ndarray, precision=None,
+                  value=None) -> jnp.ndarray:
+    """``out = A^T @ g`` through the transpose slot order; (M, K) ->
+    (N, K).  Backs ``grad_mat`` of the differentiable hybrid SpMM
+    (reference obtains the same transpose via the cached csr2csc
+    permutation, ``csrc/spmm.cpp:100-108``)."""
+    if isinstance(h, DenseFormat):
+        return dense_spmm_t(h, g, precision)
+    precision = _prec(precision)
     if h.row_map is not None:
         gp = jnp.zeros((h.M_pad, g.shape[1]), g.dtype).at[h.row_map].set(g)
         return hybrid_spmm_t(_inner(h), gp, precision, value)[h.row_map]
@@ -366,27 +483,29 @@ def hybrid_spmm_t(h: HybridFormat, g: jnp.ndarray,
     B, M, N = h.B, h.M, h.N
     K = g.shape[1]
     R = -(-M // B)
-    pad = R * B - M
-    gb = jnp.concatenate(
-        [g, jnp.zeros((pad, K), g.dtype)]) if pad else g
-    gb = gb.reshape(R, B, K)
-    gb = jnp.concatenate([gb, jnp.zeros((1, B, K), g.dtype)])
-
-    C, Wt = h.btab_t.shape
+    C = -(-N // B)
+    nb = h.nb
     acc_dtype = jnp.promote_types(g.dtype, jnp.float32)
 
-    def step(w, acc):
-        ab = jnp.take(h.blocks, h.btab_t[:, w], axis=0)  # (C, B, B)
-        vb = jnp.take(gb, h.ctab_t[:, w], axis=0)        # (C, B, K)
-        # blocks[slot]^T @ grad_rowblock: contract the BLOCK-ROW dim.
-        return acc + jnp.einsum(
-            "rbc,rbk->rck", ab.astype(acc_dtype), vb.astype(acc_dtype),
-            precision=precision,
-        )
+    pad = R * B - M
+    gb = jnp.concatenate([g, jnp.zeros((pad, K), g.dtype)]) if pad else g
+    gb = gb.reshape(R, B, K)
 
-    out = jax.lax.fori_loop(
-        0, Wt, step, jnp.zeros((C, B, K), acc_dtype),
-    )
+    # Transpose schedule: visit slots in col-block order; segment ids
+    # (slot_col[order_t]) are sorted by construction.
+    seg = jnp.take(h.slot_col, h.order_t)
+    grad_src = jnp.take(h.slot_row, h.order_t)
+    out = jnp.zeros((C, B, K), acc_dtype)
+    step = _slot_chunk(B, K, jnp.dtype(acc_dtype).itemsize)
+    for s in range(0, nb, step):
+        e = min(s + step, nb)
+        ab = jnp.take(h.blocks, h.order_t[s:e], axis=0)   # (c, B, B)
+        vb = jnp.take(gb, grad_src[s:e], axis=0)          # (c, B, K)
+        # blocks[slot]^T @ grad_rowblock: contract the BLOCK-ROW dim.
+        tmp = _mxu_einsum("sbc,sbk->sck", ab, vb, acc_dtype, precision)
+        out = out + jax.ops.segment_sum(
+            tmp, seg[s:e], num_segments=C, indices_are_sorted=True,
+        )
     out = out.reshape(C * B, K)[:N].astype(g.dtype)
 
     if h.ell_t is not None:
@@ -395,7 +514,27 @@ def hybrid_spmm_t(h: HybridFormat, g: jnp.ndarray,
     return out
 
 
-def build_hybrid_from_tensor(A, B: int = 1024,
+def dense_spmm(d: DenseFormat, x: jnp.ndarray,
+               precision=None) -> jnp.ndarray:
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    out = jnp.matmul(
+        d.dense, x.astype(d.dense.dtype) if d.dense.dtype != x.dtype else x,
+        precision=_prec(precision), preferred_element_type=acc,
+    )
+    return out.astype(x.dtype)
+
+
+def dense_spmm_t(d: DenseFormat, g: jnp.ndarray,
+                 precision=None) -> jnp.ndarray:
+    acc = jnp.promote_types(g.dtype, jnp.float32)
+    out = jnp.matmul(
+        d.dense.T, g.astype(d.dense.dtype) if d.dense.dtype != g.dtype else g,
+        precision=_prec(precision), preferred_element_type=acc,
+    )
+    return out.astype(g.dtype)
+
+
+def build_hybrid_from_tensor(A, B: int = 512,
                              min_density: Optional[float] = None,
                              K_hint: int = 128,
                              block_dtype=None,

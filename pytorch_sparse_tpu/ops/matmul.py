@@ -19,9 +19,11 @@ TPU-native re-design of the reference's ``torch_sparse/matmul.py`` +
 
 The forward computation itself is the gather/segment-reduce formulation:
 ``out = segment_reduce(value * mat[col], row)``.  XLA lowers the gather +
-multiply + segmented reduction into fused HBM-bandwidth-bound loops; a
-Pallas kernel path (``ops/kernels/spmm_pallas.py``) covers the cases where
-hand-tiling beats XLA's lowering.
+multiply + segmented reduction into fused HBM-bandwidth-bound loops.
+(A Pallas one-hot-MXU sorted-segment kernel was built, measured, and
+REMOVED in round 3: its reduce-only time ≈ the ELL path's entire SpMM,
+and Pallas cannot gather from HBM, so it could never own the full op —
+the measured negative is recorded in BASELINE.md/PARITY.md.)
 """
 
 from __future__ import annotations

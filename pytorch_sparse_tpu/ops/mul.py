@@ -23,14 +23,17 @@ def mul(
 ) -> SparseTensor:
     if isinstance(other, SparseTensor):
         if not src.is_coalesced():
-            raise ValueError("The `src` tensor is not coalesced")
+            raise ValueError("sparse*sparse mul needs a coalesced `src` "
+                             "(call src.coalesce() first)")
         if not other.is_coalesced():
-            raise ValueError("The `other` tensor is not coalesced")
+            raise ValueError("sparse*sparse mul needs a coalesced `other` "
+                             "(call other.coalesce() first)")
 
         valueA = src.storage.value()
         valueB = other.storage.value()
         if valueA is None or valueB is None:
-            raise ValueError("Both sparse tensors must contain values")
+            raise ValueError("sparse*sparse mul needs explicit values on "
+                             "both operands")
 
         M = max(src.sparse_size(0), other.sparse_size(0))
         N = max(src.sparse_size(1), other.sparse_size(1))

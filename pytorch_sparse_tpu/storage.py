@@ -728,7 +728,14 @@ class SparseStorage:
     _HYBRID_B = 512               # stats/auto-build block size
     _HYBRID_MIN_EDGES = 200_000   # below this the ELL path is sub-ms
     _HYBRID_MIN_FRACTION = 0.30   # dense-edge share for a >=1.4x model win
-    _HYBRID_MAX_BLOCK_BYTES = 4 << 30
+    # f32 block-store budget (v5e has 16 GB HBM; full-Reddit f32 blocks
+    # are ~7.5 GB and the operands/remainder tables fit beside them —
+    # f32 keeps the oracle err at ~1e-5 where bf16 stores sit at ~2e-3).
+    _HYBRID_MAX_BLOCK_BYTES = 8 << 30
+    # Whole-matrix dense route: if the OVERALL density clears the
+    # densify break-even and the (M, N) store fits this HBM budget, one
+    # MXU matmul beats any table walk (DenseFormat).
+    _DENSE_MAX_BYTES = int(2.5e9)
 
     def has_hybrid(self) -> bool:
         return self._hybrid is not None
@@ -767,20 +774,45 @@ class SparseStorage:
         col = self.numpy_view("col")
         if row is None or col is None:
             return None  # tracing: decide on a later eager call
-        from .ops.kernels.hybrid import build_hybrid, dense_fraction
+        from .ops.kernels.hybrid import (
+            block_break_even, build_dense, build_hybrid, dense_fraction,
+        )
 
-        frac, nb = dense_fraction(row, col, M, N, B=B)
         # build_hybrid allocates blocks in the value dtype (f32 for
         # implicit ones), so size the cap with the actual element width.
         elem = 4 if value is None else max(
             4, jnp.dtype(value.dtype).itemsize
         )
-        if (frac < self._HYBRID_MIN_FRACTION
-                or (nb + 1) * B * B * elem > self._HYBRID_MAX_BLOCK_BYTES):
+        val = None if value is None else np.asarray(value)
+        # Whole-matrix dense route: overall density past the block
+        # break-even means EVERY block region pays to densify — skip the
+        # tables and run one MXU matmul (probe_hybrid_forms.py: ~3x over
+        # the block walk at Reddit-10% density).
+        E = row.shape[0]
+        if (E / (M * N) >= block_break_even(B)
+                and M * N * elem <= self._DENSE_MAX_BYTES):
+            self._hybrid = build_dense(row, col, val, M, N)
+            return self._hybrid
+        frac, nb = dense_fraction(row, col, M, N, B=B)
+        if frac < self._HYBRID_MIN_FRACTION:
             self._hybrid_skip = True
             return None
-        val = None if value is None else np.asarray(value)
-        self._hybrid = build_hybrid(row, col, val, M, N, B=B)
+        # Block-store budget: fall back to bf16 blocks when the f32
+        # store would blow the cap (halves bytes AND read traffic; the
+        # block dots multiply in bf16 at DEFAULT precision anyway, so
+        # only the stored values round — full-Reddit measured slice err
+        # stays within the bench gate, BASELINE.md).
+        block_dtype = None
+        blk_bytes = (nb + 1) * B * B * elem
+        if blk_bytes > self._HYBRID_MAX_BLOCK_BYTES:
+            if (elem <= 4
+                    and (nb + 1) * B * B * 2 <= self._HYBRID_MAX_BLOCK_BYTES):
+                block_dtype = jnp.bfloat16
+            else:
+                self._hybrid_skip = True
+                return None
+        self._hybrid = build_hybrid(row, col, val, M, N, B=B,
+                                    block_dtype=block_dtype)
         return self._hybrid
 
     # ------------------------------------------------------------------

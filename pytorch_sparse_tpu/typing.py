@@ -24,4 +24,8 @@ def tpu_available() -> bool:
         return False
 
 
-WITH_PALLAS = True  # Pallas kernels run in interpret mode on CPU for tests.
+# Pallas SpMM kernels were measured and removed in round 3 (BASELINE.md:
+# the one-hot MXU sorted-segment reduce alone costs as much as the whole
+# scatter-free ELL SpMM, and Pallas cannot gather from HBM on this
+# toolchain) — the compute path is pure XLA + MXU block matmuls.
+WITH_PALLAS = False

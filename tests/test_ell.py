@@ -153,30 +153,6 @@ def test_build_ell_transpose_view():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
-def test_pallas_sorted_segment_reduce_interpret():
-    from jax.experimental.pallas import tpu as pltpu
-
-    from pytorch_sparse_tpu.ops.kernels.spmm_pallas import (
-        build_chunk_table, sorted_segment_reduce_matmul,
-    )
-
-    rng = np.random.RandomState(0)
-    M, E, K, TM, C = 500, 3000, 128, 128, 512
-    row = np.sort(rng.randint(0, M, E)).astype(np.int32)
-    h = rng.randn(E, K).astype(np.float32)
-    rowptr = np.zeros(M + 1, np.int64)
-    np.add.at(rowptr, row + 1, 1)
-    rowptr = np.cumsum(rowptr)
-    cb, ce, fi, nb, n_slots = build_chunk_table(rowptr, M, TM, C)
-    with pltpu.force_tpu_interpret_mode():
-        out = sorted_segment_reduce_matmul(
-            jnp.asarray(h), jnp.asarray(row), jnp.asarray(cb),
-            jnp.asarray(ce), jnp.asarray(fi), M, n_slots, TM, C,
-        )
-    ref = jax.ops.segment_sum(jnp.asarray(h), jnp.asarray(row), M)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
-
-
 @pytest.mark.parametrize("reduce", ["min", "max"])
 def test_ell_minmax_matches_segment_path(reduce):
     from pytorch_sparse_tpu.ops.matmul import _spmm_min, _spmm_max

@@ -294,3 +294,90 @@ def test_edge_dot_chunked_scan_branch(monkeypatch):
     got = mm._edge_dot_chunked(row, col, mat, grad)
     assert got.shape == (E,)
     assert np.allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+def test_dense_route_spmm_and_grads():
+    """Whole-matrix DenseFormat: auto-built when overall density clears
+    the block break-even; forward + both gradient paths vs the dense
+    oracle (values baked, grad_value via the edge dot — linear in
+    value, so exact regardless of baking)."""
+    from pytorch_sparse_tpu.ops.kernels.hybrid import (
+        DenseFormat, build_dense, hybrid_spmm, hybrid_spmm_t,
+    )
+
+    rng = np.random.RandomState(5)
+    M, N, E = 300, 250, 9000
+    row = np.sort(rng.randint(0, M, E))
+    col = rng.randint(0, N, E)
+    val = rng.randn(E).astype(np.float32)
+    d = build_dense(row, col, val, M, N)
+    assert isinstance(d, DenseFormat)
+    dense = np.zeros((M, N), np.float32)
+    np.add.at(dense, (row, col), val)
+    x = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    out = np.asarray(jax.jit(hybrid_spmm)(d, x))
+    assert np.allclose(out, dense @ np.asarray(x), atol=1e-3)
+    g = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    out_t = np.asarray(hybrid_spmm_t(d, g))
+    assert np.allclose(out_t, dense.T @ np.asarray(g), atol=1e-3)
+
+
+def test_dense_route_auto_router(monkeypatch):
+    """A small-but-dense matrix routes to DenseFormat through the public
+    spmm entry and keeps the full gradient contract."""
+    from pytorch_sparse_tpu.storage import SparseStorage
+    from pytorch_sparse_tpu.ops.kernels.hybrid import DenseFormat
+
+    monkeypatch.setattr(SparseStorage, "_HYBRID_MIN_EDGES", 1000)
+    monkeypatch.setattr(SparseStorage, "_HYBRID_B", 32)
+    rng = np.random.RandomState(6)
+    M, E = 256, 40_000  # density 61% >> break-even
+    row, col = rng.randint(0, M, E), rng.randint(0, M, E)
+    A = SparseTensor(row=row, col=col, sparse_sizes=(M, M)).coalesce("add")
+    A = A.set_value(jnp.asarray(rng.randn(A.nnz()).astype(np.float32)),
+                    layout="coo")
+    x0 = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    out = spmm_sum(A, x0)
+    assert isinstance(A.storage.hybrid(), DenseFormat)
+    dense = np.asarray(A.to_dense())
+    assert np.allclose(np.asarray(out), dense @ np.asarray(x0), atol=1e-3)
+    # gradient contract: value + mat grads vs the dense oracle
+    val = A.storage.value()
+
+    def f(v, x):
+        B = A.set_value(v, layout="coo")
+        return (spmm_sum(B, x) ** 2).sum()
+
+    gv, gx = jax.grad(f, argnums=(0, 1))(val, x0)
+    r, c = np.asarray(A.storage.row()), np.asarray(A.storage.col())
+
+    def f_ref(v, x):
+        d = jnp.zeros((M, M)).at[r, c].add(v)
+        return ((d @ x) ** 2).sum()
+
+    gv_r, gx_r = jax.grad(f_ref, argnums=(0, 1))(val, x0)
+    assert np.allclose(np.asarray(gv), np.asarray(gv_r), atol=1e-2)
+    assert np.allclose(np.asarray(gx), np.asarray(gx_r), atol=1e-2)
+
+
+def test_block_precision_knob():
+    from pytorch_sparse_tpu.ops.kernels.hybrid import (
+        get_block_precision, set_block_precision,
+    )
+
+    prev = get_block_precision()
+    try:
+        set_block_precision(jax.lax.Precision.HIGHEST)
+        assert get_block_precision() == jax.lax.Precision.HIGHEST
+        rng = np.random.RandomState(7)
+        M, E = 128, 3000
+        row, col = rng.randint(0, M, E), rng.randint(0, M, E)
+        val = rng.randn(E).astype(np.float32)
+        h = build_hybrid(row, col, val, M, M, B=32, min_density=0.0)
+        x = jnp.asarray(rng.randn(M, 4).astype(np.float32))
+        out = np.asarray(hybrid_spmm(h, x))  # uses the knob default
+        dense = np.zeros((M, M), np.float32)
+        np.add.at(dense, (row, col), val)
+        assert np.allclose(out, dense @ np.asarray(x), atol=1e-4)
+    finally:
+        set_block_precision(prev)
