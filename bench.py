@@ -90,8 +90,23 @@ def _reddit_full_graph(ts):
     from pytorch_sparse_tpu.testing import community_graph
 
     M = 232_965
+    cache = os.path.expanduser(
+        "~/.cache/pytorch_sparse_tpu_bench/reddit_full_s4.npz"
+    )
+    if os.path.exists(cache):
+        d = np.load(cache)
+        A = ts.SparseTensor(
+            row=d["row"], col=d["col"], value=jnp.asarray(d["value"]),
+            sparse_sizes=(M, M), is_sorted=True, trust_data=True,
+        )
+        return A, M, int(A.nnz())
     A = community_graph(M, 160_000_000, n_comm=50, seed=4,
                         equal_sizes=True)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.savez(cache,
+             row=A.storage.numpy_view("row").astype(np.int32),
+             col=A.storage.numpy_view("col").astype(np.int32),
+             value=np.asarray(A.storage.value()))
     return A, M, int(A.nnz())
 
 
@@ -134,7 +149,15 @@ def _measure(ts, device_time, A, M, E, label):
     mat = jnp.asarray(
         np.random.RandomState(2).randn(M, K).astype(np.float32)
     )
-    out = ts.spmm_sum(A, mat)      # triggers auto format selection
+    A.storage.hybrid()             # auto format selection (host build)
+    big = E * 8 > (1 << 25)
+    if big:
+        # jit keeps the peak footprint bounded (the eager op-by-op walk
+        # materializes every unfused intermediate next to the multi-GB
+        # block store and OOMs at full-Reddit scale).
+        out = jax.jit(lambda m, a: ts.spmm_sum(a, m))(mat, A)
+    else:
+        out = ts.spmm_sum(A, mat)
     ok, err = oracle_check(A, mat, out, M)
     if A.storage.has_hybrid():
         h = A.storage.hybrid(auto=False)
@@ -146,8 +169,12 @@ def _measure(ts, device_time, A, M, E, label):
     # Small tables compile ~25% faster as closure constants; big ones
     # must ride as jit arguments (remote-compile body limit) — pass as
     # argument above 32 MB of edge data.
-    if E * 8 > (1 << 25):
-        dt = device_time(lambda m, a: ts.spmm_sum(a, m), mat, A)
+    if big:
+        # Short chains at 100M+ nnz: a 24-deep chained loop of ~100 ms
+        # programs trips the remote worker's execution limit (observed:
+        # n=4 runs, n=24 kills the worker).
+        dt = device_time(lambda m, a: ts.spmm_sum(a, m), mat, A,
+                         n_lo=2, n_hi=6)
     else:
         dt = device_time(lambda m: ts.spmm_sum(A, m), mat)
     roofline, target = _roofline_target(M, E)

@@ -225,7 +225,7 @@ def build_ell(
     inv = np.empty(M, np.int64)
     inv[perm] = np.arange(M)
 
-    return EllFormat(
+    out = EllFormat(
         [jnp.asarray(e) for e in eids_list],
         [jnp.asarray(i) for i in idxs_list],
         [jnp.asarray(r) for r in rows_list],
@@ -233,6 +233,23 @@ def build_ell(
         jnp.asarray(edge_slot.astype(np.int32)),
         tuple(used_caps), E, M, n_zero,
     )
+    # Host copies of the slot tables for bake_values (a device->host
+    # pull through the remote tunnel is ~30x slower than this keeps).
+    # Plain attribute, NOT a pytree child — jit round-trips drop it,
+    # which is fine: baking is an eager, build-time operation.
+    out._host_eids = eids_list
+    return out
+
+
+def bake_values(ell: EllFormat, value) -> Tuple[jnp.ndarray, ...]:
+    """Slot-layout (R, cap) value tables (padding slots = 0): the
+    forward then reads values contiguously instead of gathering
+    ``value_pad[eids]`` at 4 B granule.  Host-side, eager-only; cached
+    by the storage layer, which drops it on ``set_value``."""
+    v = np.asarray(value)
+    vp = np.concatenate([v, np.zeros(1, v.dtype)])
+    eids = getattr(ell, "_host_eids", None) or ell.eids
+    return tuple(jnp.asarray(vp[np.asarray(e)]) for e in eids)
 
 
 def _bucket_sum(mat, idx, vals):
@@ -260,15 +277,19 @@ def _bucket_sum(mat, idx, vals):
 
 
 def ell_spmm(
-    ell: EllFormat, value: Optional[jnp.ndarray], mat: jnp.ndarray
+    ell: EllFormat, value: Optional[jnp.ndarray], mat: jnp.ndarray,
+    baked=None,
 ) -> jnp.ndarray:
     """out[r] = sum over r's edges of value[e] * mat[idx[e]], shape (M, K).
 
     ``value=None`` means implicit ones (padding slots contribute 0 via a
-    mask).  Pure XLA, scatter-free, jit-safe; differentiable in
-    ``value``/``mat`` by JAX AD, though callers on the hot path should use
-    the custom-VJP wrapper in ``ops/matmul.py`` which backs the
-    ``grad_mat`` pass with the transpose ELL instead of a scatter.
+    mask).  ``baked`` (from :func:`bake_values`) supplies the values in
+    slot layout, skipping the per-slot gather — callers must guarantee
+    ``baked == value_pad[eids]`` (the storage cache layer does).  Pure
+    XLA, scatter-free, jit-safe; differentiable in ``value``/``mat`` by
+    JAX AD, though callers on the hot path should use the custom-VJP
+    wrapper in ``ops/matmul.py`` which backs the ``grad_mat`` pass with
+    the transpose ELL instead of a scatter.
 
     Half-precision operands compute through f32 internally: XLA's
     sub-512-byte-granule gathers are ~4x slower than one dense upcast,
@@ -278,13 +299,15 @@ def ell_spmm(
     if mat.dtype in (jnp.bfloat16, jnp.float16):
         mat = mat.astype(jnp.float32)
     K = mat.shape[1]
-    if value is not None:
+    if value is not None and baked is None:
         value_pad = jnp.concatenate(
             [value, jnp.zeros((1,), value.dtype)]
         )
     outs = []
-    for eids, idx in zip(ell.eids, ell.idxs):
-        if value is not None:
+    for bi, (eids, idx) in enumerate(zip(ell.eids, ell.idxs)):
+        if baked is not None:
+            vals = baked[bi].astype(mat.dtype)
+        elif value is not None:
             vals = jnp.take(value_pad, eids, axis=0).astype(mat.dtype)
         else:
             vals = (eids < ell.E).astype(mat.dtype)

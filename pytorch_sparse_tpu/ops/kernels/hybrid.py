@@ -78,7 +78,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ell import EllFormat, build_ell, ell_spmm
+from .ell import EllFormat, bake_values, build_ell, ell_spmm
 from ...utils.host_sort import lexsort2, stable_argsort
 
 
@@ -141,7 +141,8 @@ class HybridFormat:
                  ell: Optional[Tuple[EllFormat, Any]],
                  M: int, N: int, B: int, dense_nnz: int,
                  row_map=None, M_pad: int = 0,
-                 ell_t=None, rest_ids=None):
+                 ell_t=None, rest_ids=None,
+                 rest_baked=None, rest_baked_t=None):
         self.blocks = blocks
         self.slot_row = slot_row
         self.slot_col = slot_col
@@ -157,6 +158,9 @@ class HybridFormat:
         self.M_pad = M_pad
         self.ell_t = ell_t
         self.rest_ids = rest_ids
+        # Slot-layout baked value tables of the remainder (fwd + ^T).
+        self.rest_baked = rest_baked
+        self.rest_baked_t = rest_baked_t
 
     @property
     def nb(self) -> int:
@@ -171,16 +175,18 @@ class HybridFormat:
 
 def _hyb_flatten(h: HybridFormat):
     return ((h.blocks, h.slot_row, h.slot_col, h.order_t, h.ell,
-             h.row_map, h.ell_t, h.rest_ids),
+             h.row_map, h.ell_t, h.rest_ids, h.rest_baked,
+             h.rest_baked_t),
             (h.M, h.N, h.B, h.dense_nnz, h.M_pad))
 
 
 def _hyb_unflatten(aux, children):
     (blocks, slot_row, slot_col, order_t, ell, row_map, ell_t,
-     rest_ids) = children
+     rest_ids, rest_baked, rest_baked_t) = children
     M, N, B, dense_nnz, M_pad = aux
     return HybridFormat(blocks, slot_row, slot_col, order_t, ell, M, N,
-                        B, dense_nnz, row_map, M_pad, ell_t, rest_ids)
+                        B, dense_nnz, row_map, M_pad, ell_t, rest_ids,
+                        rest_baked, rest_baked_t)
 
 
 jax.tree_util.register_pytree_node(HybridFormat, _hyb_flatten,
@@ -313,16 +319,24 @@ def build_hybrid(
     ell = None
     ell_t = None
     rest_ids = None
+    rest_baked = None
+    rest_baked_t = None
     if rest.size:
         order = stable_argsort(row[rest])
         rr = rest[order]
         rows_r, cols_r = row[rr], col[rr]
         rptr = np.searchsorted(rows_r, np.arange(M + 1))
-        ell = build_ell(rptr, cols_r, None, M)
-        ell = (ell, jnp.asarray(val[rr]))
+        ell_obj = build_ell(rptr, cols_r, None, M)
+        # Slot-layout baked values for forward + transpose (the live
+        # ``value`` must equal the build values anyway — the dense
+        # blocks bake them — so the remainder always reads these
+        # contiguous tables instead of gathering at 4 B granule).
+        rest_baked = bake_values(ell_obj, val[rr])
+        ell = (ell_obj, jnp.asarray(val[rr]))
         csc_perm = lexsort2(cols_r, rows_r)
         cptr = np.searchsorted(cols_r[csc_perm], np.arange(N + 1))
         ell_t = build_ell(cptr, rows_r[csc_perm], csc_perm, N)
+        rest_baked_t = bake_values(ell_t, val[rr])
         rest_ids = jnp.asarray(rr.astype(np.int32 if E < 2**31
                                          else np.int64))
 
@@ -339,6 +353,7 @@ def build_hybrid(
         jnp.asarray(order_t.astype(np.int32)),
         ell, M, N, B, dense_nnz,
         ell_t=ell_t, rest_ids=rest_ids,
+        rest_baked=rest_baked, rest_baked_t=rest_baked_t,
     )
 
 
@@ -376,7 +391,8 @@ def _inner(h: HybridFormat) -> HybridFormat:
     return HybridFormat(
         h.blocks, h.slot_row, h.slot_col, h.order_t, h.ell,
         h.M_pad, h.M_pad, h.B, h.dense_nnz, ell_t=h.ell_t,
-        rest_ids=h.rest_ids,
+        rest_ids=h.rest_ids, rest_baked=h.rest_baked,
+        rest_baked_t=h.rest_baked_t,
     )
 
 
@@ -462,8 +478,14 @@ def hybrid_spmm(h, x: jnp.ndarray, precision=None,
     out = out.reshape(R * B, K)[:M].astype(x.dtype)
 
     if h.ell is not None:
-        ell, vals = _rest_vals(h, value)
-        out = out + ell_spmm(ell, vals, x)
+        # The live ``value`` must equal the build values (the dense
+        # blocks bake them), so the remainder always reads the baked
+        # slot tables — no per-slot value gather.
+        if h.rest_baked is not None:
+            out = out + ell_spmm(h.ell[0], None, x, baked=h.rest_baked)
+        else:
+            ell, vals = _rest_vals(h, value)
+            out = out + ell_spmm(ell, vals, x)
     return out
 
 
@@ -509,8 +531,11 @@ def hybrid_spmm_t(h, g: jnp.ndarray, precision=None,
     out = out.reshape(C * B, K)[:N].astype(g.dtype)
 
     if h.ell_t is not None:
-        _, vals = _rest_vals(h, value)
-        out = out + ell_spmm(h.ell_t, vals, g)
+        if h.rest_baked_t is not None:
+            out = out + ell_spmm(h.ell_t, None, g, baked=h.rest_baked_t)
+        else:
+            _, vals = _rest_vals(h, value)
+            out = out + ell_spmm(h.ell_t, vals, g)
     return out
 
 

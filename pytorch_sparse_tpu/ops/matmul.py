@@ -220,28 +220,46 @@ _spmm_max.defvjp(_spmm_max_fwd, _spmm_max_bwd)
 # ----------------------------------------------------------------------
 
 @jax.custom_vjp
-def _ell_spmm_sum(ellA, ellAT, row, col, value, mat):
-    return ell_spmm(ellA, value, mat)
+def _ell_spmm_sum(ellA, ellAT, bakedA, bakedAT, row, col, value, mat):
+    # ``baked*`` are slot-layout value caches (storage.ell_baked());
+    # they MUST equal value_pad[eids] — the cache layer drops them on
+    # set_value, like the hybrid format's baked blocks.
+    return ell_spmm(ellA, value, mat, baked=bakedA)
 
 
-def _ell_spmm_sum_fwd(ellA, ellAT, row, col, value, mat):
-    return ell_spmm(ellA, value, mat), (ellA, ellAT, row, col, value, mat)
+def _ell_spmm_sum_fwd(ellA, ellAT, bakedA, bakedAT, row, col, value, mat):
+    return (ell_spmm(ellA, value, mat, baked=bakedA),
+            (ellA, ellAT, bakedA, bakedAT, row, col, value, mat))
 
 
 def _ell_spmm_sum_bwd(res, grad):
-    ellA, ellAT, row, col, value, mat = res
+    ellA, ellAT, bakedA, bakedAT, row, col, value, mat = res
     grad_value = None
     if value is not None:
         grad_value = ell_edge_dot(ellA, mat, grad).astype(value.dtype)
-    grad_mat = ell_spmm(ellAT, value, grad).astype(mat.dtype)
+    grad_mat = ell_spmm(ellAT, value, grad, baked=bakedAT).astype(mat.dtype)
     zeros = partial(jax.tree_util.tree_map, _int_zero)
     return (
-        zeros(ellA), zeros(ellAT), _int_zero(row), _int_zero(col),
+        zeros(ellA), zeros(ellAT), _zero_cotangent(bakedA),
+        _zero_cotangent(bakedAT), _int_zero(row), _int_zero(col),
         grad_value, grad_mat,
     )
 
 
 _ell_spmm_sum.defvjp(_ell_spmm_sum_fwd, _ell_spmm_sum_bwd)
+
+
+def _ell_baked_views(src: SparseTensor, value):
+    """(bakedA, bakedAT) when available — both or neither, so the
+    forward and its transpose backward stay consistent."""
+    if value is None:
+        return None, None
+    st = src.storage
+    bakedA = st.ell_baked()
+    bakedAT = st.ell_t_baked()
+    if bakedA is None or bakedAT is None:
+        return None, None
+    return bakedA, bakedAT
 
 
 # min/max: scatter-free ELL forward with the reference argout contract;
@@ -380,10 +398,13 @@ def spmm_sum(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
     views = _ell_views(src)
     if views is not None:
         ellA, ellAT = views
+        bakedA, bakedAT = _ell_baked_views(src, value)
         if other.ndim == 2:
-            return _ell_spmm_sum(ellA, ellAT, row, col, value, other)
+            return _ell_spmm_sum(ellA, ellAT, bakedA, bakedAT, row, col,
+                                 value, other)
         return jax.vmap(
-            lambda m: _ell_spmm_sum(ellA, ellAT, row, col, value, m)
+            lambda m: _ell_spmm_sum(ellA, ellAT, bakedA, bakedAT, row,
+                                    col, value, m)
         )(other)
     if other.ndim == 2:
         return _spmm_sum(M, row, col, value, other)
@@ -409,12 +430,15 @@ def spmm_mean(src: SparseTensor, other: jnp.ndarray) -> jnp.ndarray:
         # mean = sum / max(deg, 1); JAX AD folds the 1/deg into both
         # gradients automatically, matching csrc/spmm.cpp:166-177.
         ellA, ellAT = views
+        bakedA, bakedAT = _ell_baked_views(src, value)
         deg = jnp.maximum(src.storage.rowcount(), 1).astype(other.dtype)
         if other.ndim == 2:
-            out = _ell_spmm_sum(ellA, ellAT, row, col, value, other)
+            out = _ell_spmm_sum(ellA, ellAT, bakedA, bakedAT, row, col,
+                                value, other)
             return out / deg[:, None]
         out = jax.vmap(
-            lambda m: _ell_spmm_sum(ellA, ellAT, row, col, value, m)
+            lambda m: _ell_spmm_sum(ellA, ellAT, bakedA, bakedAT, row,
+                                    col, value, m)
         )(other)
         return out / deg[None, :, None]
     if other.ndim == 2:

@@ -331,6 +331,8 @@ class SparseStorage:
         self._ell = None
         self._ell_t = None
         self._hybrid = None
+        self._ell_baked = None
+        self._ell_t_baked = None
 
         # Seed the host-copy cache (numpy_view) with arrays that never
         # left the host, so host-side algorithms (samplers, SpGEMM,
@@ -719,6 +721,37 @@ class SparseStorage:
         return self._ell_t
 
     # ------------------------------------------------------------------
+    # Baked slot-layout value tables for the ELL views: replace the
+    # forward's per-slot 4 B-granule gather of ``value_pad[eids]`` with
+    # contiguous (R, cap) reads (~1 ms at arxiv scale, measured
+    # benchmarks/probe_ell_decomp.py).  Value-DEPENDENT: ``set_value``
+    # drops them (the edge-id ELL views themselves survive).
+    # ------------------------------------------------------------------
+    def ell_baked(self):
+        if self._value is None or not _is_concrete(self._value):
+            return None
+        if getattr(self, "_ell_baked", None) is None:
+            ell = self.ell()
+            if ell is None:
+                return None
+            from .ops.kernels.ell import bake_values
+
+            self._ell_baked = bake_values(ell, self._value)
+        return self._ell_baked
+
+    def ell_t_baked(self):
+        if self._value is None or not _is_concrete(self._value):
+            return None
+        if getattr(self, "_ell_t_baked", None) is None:
+            ell_t = self.ell_t()
+            if ell_t is None:
+                return None
+            from .ops.kernels.ell import bake_values
+
+            self._ell_t_baked = bake_values(ell_t, self._value)
+        return self._ell_t_baked
+
+    # ------------------------------------------------------------------
     # Hybrid block-dense + ELL view (ops/kernels/hybrid.py).  Auto-built
     # on first (eager) request when the measured block-density stats
     # predict an MXU win — community graphs at Reddit-like densities see
@@ -1027,6 +1060,8 @@ class SparseStorage:
         self._ell_t = None
         self._hybrid = None
         self._hybrid_skip = False
+        self._ell_baked = None
+        self._ell_t_baked = None
         return self
 
     def cached_keys(self) -> List[str]:
@@ -1052,6 +1087,8 @@ class SparseStorage:
         )
         out._ell, out._ell_t = self._ell, self._ell_t
         out._hybrid = self._hybrid
+        out._ell_baked = getattr(self, "_ell_baked", None)
+        out._ell_t_baked = getattr(self, "_ell_t_baked", None)
         cache = getattr(self, "_np_cache", None)
         if cache:
             out._np_cache = dict(cache)
@@ -1084,6 +1121,10 @@ class SparseStorage:
             out._ell_t = jax.tree_util.tree_map(fn, self._ell_t)
         if self._hybrid is not None:
             out._hybrid = jax.tree_util.tree_map(fn, self._hybrid)
+        for name in ("_ell_baked", "_ell_t_baked"):
+            baked = getattr(self, name, None)
+            if baked is not None:
+                setattr(out, name, jax.tree_util.tree_map(fn, baked))
         return out
 
     def to_device(self, device) -> "SparseStorage":
@@ -1104,7 +1145,8 @@ def _storage_flatten(s: SparseStorage):
     children = (
         s._row, s._rowptr, s._col, s._value, s._rowcount, s._colptr,
         s._colcount, s._csr2csc, s._csc2csr, s._ell, s._ell_t,
-        s._hybrid,
+        s._hybrid, getattr(s, "_ell_baked", None),
+        getattr(s, "_ell_t_baked", None),
     )
     return children, s._sparse_sizes
 
@@ -1113,7 +1155,8 @@ def _storage_unflatten(aux, children) -> SparseStorage:
     obj = object.__new__(SparseStorage)
     (obj._row, obj._rowptr, obj._col, obj._value, obj._rowcount, obj._colptr,
      obj._colcount, obj._csr2csc, obj._csc2csr, obj._ell,
-     obj._ell_t, obj._hybrid) = children
+     obj._ell_t, obj._hybrid, obj._ell_baked,
+     obj._ell_t_baked) = children
     obj._sparse_sizes = aux
     return obj
 

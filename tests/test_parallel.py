@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pytorch_sparse_tpu import SparseTensor, matmul
 from pytorch_sparse_tpu.parallel import (
     ShardedSparseMatrix, dist_spmm, make_mesh, make_mesh2d,

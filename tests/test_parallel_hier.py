@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pytorch_sparse_tpu import SparseTensor, matmul
 from pytorch_sparse_tpu.parallel import (
     HierShardedSparseMatrix, dist_spmm_hier, make_mesh_hier,

@@ -5,6 +5,10 @@ round-trips, involutions, and oracle equalities that must hold for any
 sparse matrix.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 import numpy as np
 from hypothesis import HealthCheck, given, settings, strategies as st

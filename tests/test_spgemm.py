@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import scipy.sparse as sp
 
 from pytorch_sparse_tpu import (
