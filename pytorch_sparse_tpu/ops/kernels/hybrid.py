@@ -50,10 +50,15 @@ Probe: ``benchmarks/probe_hybrid_forms.py``.
 
 Block-dot precision: TPU MXUs multiply in bf16; an f32 "HIGHEST" dot
 costs 6 passes.  The block matmuls default to ``Precision.HIGH``
-(bf16x3: f32-equivalent products at 3 passes — measured ~1e-6 relative
+(bf16x3: f32-equivalent products at 3 passes — measured ~5e-6 relative
 error vs ~2e-3 for the 1-pass ``DEFAULT`` on Reddit-density rows)
 independent of the global ``jax_default_matmul_precision``; override
-per call or with :func:`set_block_precision`.
+per call or with :func:`set_block_precision`.  HIGH/HIGHEST on the
+batched block dots are implemented MANUALLY as 3/6 bf16-component MXU
+products (``_mxu_einsum``): XLA's own HIGH/HIGHEST lowering of a
+batched dot is a measured ~100x pathology on v5e, and chunks run under
+one ``lax.scan`` body because the unrolled multi-chunk graph is a
+further measured 8x pathology (probe_blockpass*.out, round 3).
 
 ``DenseFormat``: when the WHOLE matrix clears the densify threshold
 (e.g. Reddit-10%: 2.1% dense) and fits the HBM budget, the same logic
@@ -72,6 +77,7 @@ value).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
@@ -97,7 +103,8 @@ def set_block_precision(precision) -> None:
     for the 1-pass ``DEFAULT``, at a fraction of ``HIGHEST``'s 6
     passes — and the dense-route matmul stays HBM-bound anyway).  Pass
     ``DEFAULT`` for maximum MXU throughput when ~0.2% relative error is
-    acceptable, or ``HIGHEST`` for full f32."""
+    acceptable, or ``HIGHEST`` for bf16x6 (~1e-7 rel err, near-exact
+    f32)."""
     global _BLOCK_PRECISION
     _BLOCK_PRECISION = precision
 
@@ -128,12 +135,41 @@ def block_break_even(B: int, K_hint: int = 128, elem: int = 4) -> float:
     return min(edges / (B * B), 1.0)
 
 
-# Bound on the (chunk, B, K) batched-matmul temporaries.
-_CHUNK_BYTES = 512 << 20
+# Bounds on the per-chunk batched-matmul operands.  Both matter, and
+# both are MEASURED cliffs on v5e (benchmarks: probe_blockpass*.out,
+# round 3): a chunk whose (c, B, B) block slice reaches 2^31 bytes runs
+# ~90x slower (536 MB @ c=1024/B=512/f32 is fine, 2.1 GB @ c=2048 is
+# not), and the (c, B, K) temporaries bound peak HBM.
+_CHUNK_BYTES = 512 << 20          # (c, B, K) temporaries
+_BLOCK_SLICE_BYTES = 1 << 30      # (c, B, B) operand slice
 
 
 def _slot_chunk(B: int, K: int, elem: int = 4) -> int:
-    return max(1, _CHUNK_BYTES // max(B * K * elem, 1))
+    return max(
+        1,
+        min(_CHUNK_BYTES // max(B * K * elem, 1),
+            _BLOCK_SLICE_BYTES // max(B * B * elem, 1)),
+    )
+
+
+def _chunk_geom(nb: int, B: int, K: int, elem: int) -> Tuple[int, int]:
+    """(n_chunks, chunk_len) with even chunks: padding waste is bounded
+    by one chunk row, and every scan step runs the same shapes."""
+    ch_max = _slot_chunk(B, K, elem)
+    n = -(-nb // ch_max)
+    ch = -(-nb // n)
+    return n, ch
+
+
+def _chunk_stack(ids, n: int, ch: int, fill) -> jnp.ndarray:
+    """Pad a (nb,) index vector with ``fill`` sentinels and reshape to
+    the (n, ch) scan stack."""
+    pad = n * ch - ids.shape[0]
+    if pad:
+        ids = jnp.concatenate(
+            [ids, jnp.full((pad,), fill, ids.dtype)]
+        )
+    return ids.reshape(n, ch)
 
 
 class HybridFormat:
@@ -396,44 +432,168 @@ def _inner(h: HybridFormat) -> HybridFormat:
     )
 
 
+def _scan_block_pass(blocks, bid, seg, src, xb, nseg, B, K, eq,
+                     acc_dtype, precision):
+    """Shared scan skeleton of the forward and transpose block passes.
+
+    ``bid``/``seg``/``src`` are (n, ch) sentinel-padded chunk stacks:
+    per step, gather the chunk's blocks and dense row-blocks, run one
+    batched MXU matmul, and segment-sum into the ``nseg`` output blocks.
+    Sentinels do no harm by construction: block id ``nb`` is the
+    all-zero block, segment id ``nseg`` is dropped by the scatter, and
+    source id 0 multiplies the zero block.
+
+    A ``lax.scan`` (ONE compiled body) instead of an unrolled python
+    loop is a measured 8x on v5e at full-Reddit scale: XLA schedules
+    the unrolled multi-chunk graph pathologically (196 ms vs 23 ms for
+    5 chunks of the same shapes, probe_blockpass3)."""
+
+    def body(carry, t):
+        b, s, c = t
+        ab = jnp.take(blocks, b, axis=0)          # (ch, B, B)
+        vb = jnp.take(xb, c, axis=0)              # (ch, B, K)
+        tmp = _mxu_einsum(eq, acc_dtype, precision, ab, vb)
+        return carry + jax.ops.segment_sum(
+            tmp, s, num_segments=nseg, indices_are_sorted=True,
+        ), None
+
+    out0 = jnp.zeros((nseg, B, K), acc_dtype)
+    out, _ = jax.lax.scan(body, out0, (bid, seg, src))
+    return out
+
+
 def _block_pass(blocks, slot_row, slot_col, xb, R, B, K, acc_dtype,
                 precision):
     """Forward dense-block pass: ``tmp[s] = blocks[s] @ xb[slot_col[s]]``
     segment-summed into ``R`` output row blocks keyed by ``slot_row``
-    (sorted by construction).  ``blocks`` is read contiguously — no
-    block gather, no sentinel work.  Chunked so the (chunk, B, K)
-    batched-matmul temporaries stay bounded."""
+    (sorted by construction).  ``blocks`` includes the trailing all-zero
+    block (id ``nb``) used as chunk padding."""
     nb = slot_col.shape[0]
-    out = jnp.zeros((R, B, K), acc_dtype)
     if nb == 0:
-        return out
-    step = _slot_chunk(B, K, jnp.dtype(acc_dtype).itemsize)
-    for s in range(0, nb, step):
-        e = min(s + step, nb)
-        ab = jax.lax.slice_in_dim(blocks, s, e, axis=0)     # (c, B, B)
-        vb = jnp.take(xb, slot_col[s:e], axis=0)            # (c, B, K)
-        tmp = _mxu_einsum("sbc,sck->sbk", ab, vb, acc_dtype, precision)
-        out = out + jax.ops.segment_sum(
-            tmp, slot_row[s:e], num_segments=R,
-            indices_are_sorted=True,
-        )
-    return out
+        return jnp.zeros((R, B, K), acc_dtype)
+    n, ch = _chunk_geom(nb, B, K, jnp.dtype(acc_dtype).itemsize)
+    bid = _chunk_stack(jnp.arange(nb, dtype=jnp.int32), n, ch, nb)
+    seg = _chunk_stack(slot_row, n, ch, R)
+    src = _chunk_stack(slot_col, n, ch, 0)
+    return _scan_block_pass(blocks, bid, seg, src, xb, R, B, K,
+                            "sbc,sck->sbk", acc_dtype, precision)
 
 
-def _mxu_einsum(eq, ab, vb, acc_dtype, precision):
+def _split_bf16(x, parts: int):
+    """Split an f32 array into ``parts`` bf16 components summing to ~x
+    (hi, then successive residuals).  The manual form of XLA's
+    bf16x3/bf16x6 Precision.HIGH/HIGHEST decompositions.
+
+    The bf16-rounded head is extracted with ``lax.reduce_precision``,
+    NOT ``astype(bf16).astype(f32)``: XLA:TPU's bf16-propagation pass
+    rewrites the naive form's residual subtraction to compute in bf16,
+    making every residual identically zero and silently collapsing the
+    decomposition to a 1-pass product (measured: rel err 2.4e-3 == the
+    DEFAULT pass, vs 5.1e-6 with reduce_precision; probe_split_acc2).
+    ``x - reduce_precision(x)`` is exact in f32, and the bf16 casts of
+    head/residual are exact by construction."""
+    comps = []
+    r = x
+    for _ in range(parts - 1):
+        c_f = jax.lax.reduce_precision(r, exponent_bits=8,
+                                       mantissa_bits=7)
+        comps.append(c_f.astype(jnp.bfloat16))
+        r = r - c_f
+    comps.append(r.astype(jnp.bfloat16))
+    return comps
+
+
+def _mxu_einsum_impl(eq, ab, vb, acc_dtype, precision):
     """Batched block matmul with f32 (or f64) accumulation.
 
     Half-precision block stores feed the MXU NATIVELY (casting the
     small X/grad batch down instead of materializing an upcast copy of
-    the multi-GB block store); full-precision stores go through
-    ``precision`` (HIGH = bf16x3 by default)."""
+    the multi-GB block store).
+
+    f32 operands at HIGH/HIGHEST decompose MANUALLY into bf16-component
+    products (3 resp. 6 native MXU passes, dropping the same
+    small-by-small terms XLA's bf16x3/bf16x6 drop — measured rel err
+    ~5e-6 / ~1e-7).  XLA's own HIGH/HIGHEST lowering of a *batched* dot
+    is catastrophic on this platform (measured ~100x: 332 ms vs 3.1 ms
+    at (1024, 512, 512) @ (1024, 512, 128), probe_blockpass.out) while
+    the manual decomposition runs at the expected multiple of the
+    DEFAULT pass; plain (unbatched) dots are unaffected and keep using
+    the requested precision (``dense_spmm``)."""
     if ab.dtype in (jnp.bfloat16, jnp.float16):
         vb = vb.astype(ab.dtype)
-    else:
-        vb = vb.astype(acc_dtype)
-        ab = ab.astype(acc_dtype)
-    return jnp.einsum(eq, ab, vb, precision=precision,
-                      preferred_element_type=acc_dtype)
+        return jnp.einsum(eq, ab, vb,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=acc_dtype)
+    if jnp.dtype(ab.dtype) == jnp.float64 or (
+        jnp.dtype(acc_dtype) == jnp.float64
+    ):
+        return jnp.einsum(eq, ab.astype(acc_dtype), vb.astype(acc_dtype),
+                          precision=precision,
+                          preferred_element_type=acc_dtype)
+    if isinstance(precision, tuple):
+        precision = precision[0]
+    parts = {jax.lax.Precision.HIGH: 2,
+             jax.lax.Precision.HIGHEST: 3}.get(precision, 0)
+    ab = ab.astype(acc_dtype)
+    vb = vb.astype(acc_dtype)
+    if not parts:
+        return jnp.einsum(eq, ab, vb,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=acc_dtype)
+    a_c = _split_bf16(ab, parts)
+    v_c = _split_bf16(vb, parts)
+    out = None
+    for i in range(parts):
+        for j in range(parts):
+            if i + j >= parts:
+                continue
+            term = jnp.einsum(eq, a_c[i], v_c[j],
+                              precision=jax.lax.Precision.DEFAULT,
+                              preferred_element_type=acc_dtype)
+            out = term if out is None else out + term
+    return out
+
+
+# Gradient einsums of the two block-pass contractions (derived from the
+# index algebra; each is itself one of the batched forms _mxu_einsum_impl
+# handles).  Entry: eq -> ((da_eq, da_operands), (dv_eq, dv_operands)).
+_GRAD_EQS = {
+    # out[s,b,k] = sum_c a[s,b,c] v[s,c,k]
+    "sbc,sck->sbk": ("sbk,sck->sbc", "sbc,sbk->sck"),
+    # out[s,c,k] = sum_b a[s,b,c] v[s,b,k]
+    "sbc,sbk->sck": ("sck,sbk->sbc", "sbc,sck->sbk"),
+}
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _mxu_einsum(eq, acc_dtype, precision, ab, vb):
+    """Differentiable wrapper of :func:`_mxu_einsum_impl`.
+
+    Raw AD through the manual bf16-component split rounds the
+    COTANGENTS to bf16 (each component's cotangent takes the primal
+    component's dtype), silently degrading gradients to 1-pass
+    accuracy (~2e-3 rel, measured).  The custom VJP computes both
+    gradient contractions through the same full-accuracy decomposition
+    as the forward."""
+    return _mxu_einsum_impl(eq, ab, vb, acc_dtype, precision)
+
+
+def _mxu_einsum_fwd(eq, acc_dtype, precision, ab, vb):
+    return _mxu_einsum_impl(eq, ab, vb, acc_dtype, precision), (ab, vb)
+
+
+def _mxu_einsum_bwd(eq, acc_dtype, precision, res, g):
+    ab, vb = res
+    da_eq, dv_eq = _GRAD_EQS[eq]
+    g = g.astype(acc_dtype)
+    d_ab = _mxu_einsum_impl(da_eq, g, vb.astype(acc_dtype), acc_dtype,
+                            precision).astype(ab.dtype)
+    d_vb = _mxu_einsum_impl(dv_eq, ab, g, acc_dtype,
+                            precision).astype(vb.dtype)
+    return d_ab, d_vb
+
+
+_mxu_einsum.defvjp(_mxu_einsum_fwd, _mxu_einsum_bwd)
 
 
 def hybrid_spmm(h, x: jnp.ndarray, precision=None,
@@ -472,7 +632,7 @@ def hybrid_spmm(h, x: jnp.ndarray, precision=None,
     xb = xb.reshape(C, B, K)
 
     out = _block_pass(
-        h.blocks[:nb], h.slot_row, h.slot_col, xb, R, B, K, acc_dtype,
+        h.blocks, h.slot_row, h.slot_col, xb, R, B, K, acc_dtype,
         precision,
     )
     out = out.reshape(R * B, K)[:M].astype(x.dtype)
@@ -514,20 +674,18 @@ def hybrid_spmm_t(h, g: jnp.ndarray, precision=None,
     gb = gb.reshape(R, B, K)
 
     # Transpose schedule: visit slots in col-block order; segment ids
-    # (slot_col[order_t]) are sorted by construction.
-    seg = jnp.take(h.slot_col, h.order_t)
-    grad_src = jnp.take(h.slot_row, h.order_t)
-    out = jnp.zeros((C, B, K), acc_dtype)
-    step = _slot_chunk(B, K, jnp.dtype(acc_dtype).itemsize)
-    for s in range(0, nb, step):
-        e = min(s + step, nb)
-        ab = jnp.take(h.blocks, h.order_t[s:e], axis=0)   # (c, B, B)
-        vb = jnp.take(gb, grad_src[s:e], axis=0)          # (c, B, K)
-        # blocks[slot]^T @ grad_rowblock: contract the BLOCK-ROW dim.
-        tmp = _mxu_einsum("sbc,sbk->sck", ab, vb, acc_dtype, precision)
-        out = out + jax.ops.segment_sum(
-            tmp, seg[s:e], num_segments=C, indices_are_sorted=True,
-        )
+    # (slot_col[order_t]) are sorted by construction.  Same scan
+    # skeleton as the forward; the einsum contracts the BLOCK-ROW dim
+    # (blocks[slot]^T @ grad_rowblock).
+    if nb == 0:
+        out = jnp.zeros((C, B, K), acc_dtype)
+    else:
+        n, ch = _chunk_geom(nb, B, K, jnp.dtype(acc_dtype).itemsize)
+        bid = _chunk_stack(h.order_t, n, ch, nb)
+        seg = _chunk_stack(jnp.take(h.slot_col, h.order_t), n, ch, C)
+        src = _chunk_stack(jnp.take(h.slot_row, h.order_t), n, ch, 0)
+        out = _scan_block_pass(h.blocks, bid, seg, src, gb, C, B, K,
+                               "sbc,sbk->sck", acc_dtype, precision)
     out = out.reshape(C * B, K)[:N].astype(g.dtype)
 
     if h.ell_t is not None:

@@ -381,3 +381,38 @@ def test_block_precision_knob():
         assert np.allclose(out, dense @ np.asarray(x), atol=1e-4)
     finally:
         set_block_precision(prev)
+
+
+def test_multichunk_scan_and_sentinel_padding(monkeypatch):
+    """Force tiny chunks so the block passes run a multi-step scan with
+    sentinel-padded tails; forward, transpose and gradients must still
+    match the dense oracle (regression for the round-3 scan rework)."""
+    from pytorch_sparse_tpu.ops.kernels import hybrid as hyb
+
+    monkeypatch.setattr(hyb, "_BLOCK_SLICE_BYTES", 3 * 32 * 32 * 4)
+    rng = np.random.RandomState(11)
+    M, E = 160, 4000
+    row, col = rng.randint(0, M, E), rng.randint(0, M, E)
+    val = rng.randn(E).astype(np.float32)
+    h = build_hybrid(row, col, val, M, M, B=32, min_density=0.0)
+    n, ch = hyb._chunk_geom(h.nb, 32, 8, 4)
+    assert n > 1 and n * ch >= h.nb  # the scan path is actually multi-step
+    x0 = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    dense = np.zeros((M, M), np.float32)
+    np.add.at(dense, (row, col), val)
+    out = np.asarray(jax.jit(hybrid_spmm)(h, x0))
+    assert np.allclose(out, dense @ np.asarray(x0), atol=1e-3)
+    # transpose pass
+    from pytorch_sparse_tpu.ops.kernels.hybrid import hybrid_spmm_t
+
+    out_t = np.asarray(jax.jit(hybrid_spmm_t)(h, x0))
+    assert np.allclose(out_t, dense.T @ np.asarray(x0), atol=1e-3)
+    # feature gradient through raw AD at the decomposition's accuracy
+    # (the custom VJP of _mxu_einsum must not round cotangents to bf16)
+    g = jax.grad(lambda x: (hybrid_spmm(h, x) ** 2).sum())(x0)
+    g_ref = jax.grad(
+        lambda x: ((jnp.asarray(dense) @ x) ** 2).sum()
+    )(x0)
+    scale = np.abs(np.asarray(g_ref)).max()
+    rel = np.abs(np.asarray(g) - np.asarray(g_ref)).max() / scale
+    assert rel < 2e-4, rel
