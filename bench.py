@@ -1,15 +1,20 @@
-"""Driver benchmark: fp32 sum-reduce SpMM throughput, two configs.
+"""Driver benchmark: fp32 sum-reduce SpMM throughput, three configs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+(If the expensive third leg runs, the line is printed again with its
+row added — the LAST line printed is always the most complete result,
+and a line is on stdout from the moment the cheap legs finish, so an
+external timeout can never erase the round; round 3's single
+print-at-the-end lost all three legs to rc=124.)
 
-Two graphs are measured through the SAME public entry point
+Three graphs are measured through the SAME public entry point
 (``ts.spmm_sum``) with automatic format selection active:
 
 * ``community`` — a Reddit-density community graph in METIS order
   (the realistic eval regime: Cora/arxiv/Reddit/products all have
-  community structure).  The auto-router places ~80% of edges in dense
-  (512, 512) blocks on the MXU (``ops/kernels/hybrid.py``); this is the
-  headline number and ``vs_baseline`` is keyed to it.
+  community structure).  The auto-router takes the whole-matrix dense
+  route (``ops/kernels/hybrid.py:DenseFormat``); this is the headline
+  number and ``vs_baseline`` is keyed to it.
 * ``uniform`` — a uniform-random graph at ogbn-arxiv scale, the
   adversarial case for every fast path: no block exceeds the densify
   threshold, so the router stays on the scatter-free ELL path, which
@@ -17,6 +22,15 @@ Two graphs are measured through the SAME public entry point
   itself is 2.3 ms of the 3.4; single-pass fusion is not expressible —
   Pallas can neither gather from HBM nor dynamic-gather >8 rows in
   VMEM, ``benchmarks/probe_vmem_gather.py``).
+* ``reddit-full`` — the eval-scale community config (233K nodes /
+  ~150M nnz); the router lands on the block hybrid.  Runs ONLY inside
+  the remaining wall-clock budget (env ``BENCH_BUDGET_S``, default
+  1200 s): its graph build + multi-GB block upload + first compiles
+  are minutes cold, so when the budget cannot hold it the leg reports
+  ``{"skipped": <reason>}`` instead of dying (the reference harness
+  likewise catches OOM and keeps reporting, benchmark/main.py:87-91).
+  The built HybridFormat persists to the npz cache (save_npz), so
+  warm runs skip the host build.
 
 Protocol mirrors the reference harness (``benchmark/main.py:61-91``):
 correctness pre-pass against a host CSR-walk oracle (head + tail + 512
@@ -35,7 +49,9 @@ index/value reads + one output write.
 
 import json
 import os
+import signal
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
 
@@ -47,6 +63,79 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 HBM_BW = 819e9        # TPU v5e peak HBM bandwidth (bytes/s)
 K = 128
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_T0 = time.monotonic()
+CACHE_DIR = os.path.expanduser("~/.cache/pytorch_sparse_tpu_bench")
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+# --- result state: printable at any moment -----------------------------
+_LEGS = {}          # name -> leg dict (filled as legs finish)
+_LAST_LINE = None
+
+
+def _compose() -> dict:
+    com = _LEGS.get("community")
+    ok_legs = [r for r in _LEGS.values()
+               if r.get("ok") is False and "skipped" not in r]
+    out = {
+        "metric": "spmm_nnz_per_s",
+        "value": (com or {}).get("nnz_per_s", 0.0),
+        "unit": "nnz/s",
+        "vs_baseline": (com or {}).get("vs_baseline", 0.0),
+        "detail": {
+            "K": K,
+            "dtype": "float32 (gather paths HIGHEST; MXU block dots "
+                     "HIGH = bf16x3, f32-equivalent)",
+            **_LEGS,
+            "budget_s": BUDGET_S,
+            "elapsed_s": round(time.monotonic() - _T0, 1),
+        },
+    }
+    if com is None or not com.get("ok", False):
+        out["value"], out["vs_baseline"] = 0.0, 0.0
+        out["error"] = "community leg missing or failed"
+    elif ok_legs:
+        out["error"] = "correctness check failed: " + ", ".join(
+            r.get("graph", "?") for r in ok_legs
+        )
+        out["value"], out["vs_baseline"] = 0.0, 0.0
+    try:
+        out["detail"]["device"] = str(jax.devices()[0])
+    except Exception:
+        pass
+    return out
+
+
+def _emit() -> None:
+    """Print the one-line JSON snapshot (repeated prints refine it; the
+    last line wins)."""
+    global _LAST_LINE
+    line = json.dumps(_compose())
+    if line != _LAST_LINE:
+        print(line, flush=True)
+        _LAST_LINE = line
+
+
+def _on_signal(signum, frame):
+    for name in ("community", "uniform", "reddit_full"):
+        if name not in _LEGS:
+            _LEGS[name] = {"skipped": f"signal {signum} before leg ran"}
+    _emit()
+    os._exit(0)
+
+
+def _install_guards() -> None:
+    """SIGTERM/SIGALRM → flush the snapshot line and exit 0.  Installed
+    from main() only (test modules import bench for oracle_check; an
+    import-time alarm would kill a long pytest session)."""
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    signal.alarm(max(int(BUDGET_S), 1))
 
 
 def _roofline_target(M, E):
@@ -81,32 +170,39 @@ def _community_graph(ts):
 
 
 def _reddit_full_graph(ts):
-    """FULL Reddit shape (232,965 nodes / ~115M nnz): the eval-scale
+    """FULL Reddit shape (232,965 nodes / ~150M nnz): the eval-scale
     community config (BASELINE.json Reddit row; the reference protocol
     benches full-size matrices, ``benchmark/main.py:13-29``).  The
-    auto-router lands on the block hybrid (f32 blocks, ~7.5 GB of the
-    16 GB HBM); the tensor rides as a jit ARGUMENT (closure constants
-    at this size degrade/reject the remote compile)."""
+    auto-router lands on the block hybrid; the tensor rides as a jit
+    ARGUMENT (closure constants at this size degrade/reject the remote
+    compile).  The BUILT HybridFormat persists alongside the COO so
+    warm runs skip the multi-minute host block build."""
+    from pytorch_sparse_tpu.utils.serialize import load_npz, save_npz
     from pytorch_sparse_tpu.testing import community_graph
 
     M = 232_965
-    cache = os.path.expanduser(
-        "~/.cache/pytorch_sparse_tpu_bench/reddit_full_s4.npz"
-    )
-    if os.path.exists(cache):
-        d = np.load(cache)
+    hyb_cache = os.path.join(CACHE_DIR, "reddit_full_s4_hybrid.npz")
+    coo_cache = os.path.join(CACHE_DIR, "reddit_full_s4.npz")
+    if os.path.exists(hyb_cache):
+        A = load_npz(hyb_cache)
+        return A, M, int(A.nnz())
+    if os.path.exists(coo_cache):
+        d = np.load(coo_cache)
         A = ts.SparseTensor(
             row=d["row"], col=d["col"], value=jnp.asarray(d["value"]),
             sparse_sizes=(M, M), is_sorted=True, trust_data=True,
         )
-        return A, M, int(A.nnz())
-    A = community_graph(M, 160_000_000, n_comm=50, seed=4,
-                        equal_sizes=True)
-    os.makedirs(os.path.dirname(cache), exist_ok=True)
-    np.savez(cache,
-             row=A.storage.numpy_view("row").astype(np.int32),
-             col=A.storage.numpy_view("col").astype(np.int32),
-             value=np.asarray(A.storage.value()))
+    else:
+        A = community_graph(M, 160_000_000, n_comm=50, seed=4,
+                            equal_sizes=True)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        np.savez(coo_cache,
+                 row=A.storage.numpy_view("row").astype(np.int32),
+                 col=A.storage.numpy_view("col").astype(np.int32),
+                 value=np.asarray(A.storage.value()))
+    A.storage.hybrid()                 # host block build (auto-routed)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    save_npz(hyb_cache, A)
     return A, M, int(A.nnz())
 
 
@@ -162,8 +258,10 @@ def _measure(ts, device_time, A, M, E, label):
     if A.storage.has_hybrid():
         h = A.storage.hybrid(auto=False)
         routed = type(h).__name__.replace("Format", "").lower()
-        if getattr(h, "blocks", None) is not None:
-            routed += f"[{h.blocks.dtype}]"
+        store = getattr(h, "blocks", None)
+        store = getattr(h, "dense", None) if store is None else store
+        if store is not None:
+            routed += f"[{store.dtype}]"
     else:
         routed = "ell"
     # Small tables compile ~25% faster as closure constants; big ones
@@ -188,42 +286,43 @@ def _measure(ts, device_time, A, M, E, label):
     }
 
 
+def _run_leg(name, fn):
+    try:
+        _LEGS[name] = fn()
+    except Exception as e:  # a broken leg must not erase the others
+        _LEGS[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+
 def main():
     from timing import device_time
 
     import pytorch_sparse_tpu as ts
 
-    com = _measure(ts, device_time, *_community_graph(ts),
-                   "community (Reddit-10% density, METIS order)")
-    uni = _measure(ts, device_time, *_uniform_graph(ts),
-                   "uniform (ogbn-arxiv scale, adversarial)")
-    red = _measure(ts, device_time, *_reddit_full_graph(ts),
-                   "reddit-full (233K nodes / 115M nnz, community)")
+    _install_guards()
+    _run_leg("community", lambda: _measure(
+        ts, device_time, *_community_graph(ts),
+        "community (Reddit-10% density, METIS order)"))
+    _run_leg("uniform", lambda: _measure(
+        ts, device_time, *_uniform_graph(ts),
+        "uniform (ogbn-arxiv scale, adversarial)"))
+    _emit()    # cheap legs are now on stdout, whatever happens next
 
-    if not (com["ok"] and uni["ok"] and red["ok"]):
-        print(json.dumps({
-            "metric": "spmm_nnz_per_s", "value": 0.0, "unit": "nnz/s",
-            "vs_baseline": 0.0, "error": "correctness check failed",
-            "detail": {"community": com, "uniform": uni,
-                       "reddit_full": red},
-        }))
-        return
-
-    print(json.dumps({
-        "metric": "spmm_nnz_per_s",
-        "value": com["nnz_per_s"],
-        "unit": "nnz/s",
-        "vs_baseline": com["vs_baseline"],
-        "detail": {
-            "K": K,
-            "dtype": "float32 (gather paths HIGHEST; MXU block dots "
-                     "HIGH = bf16x3, f32-equivalent)",
-            "community": com,
-            "uniform": uni,
-            "reddit_full": red,
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    # Budget gate for the expensive leg: ~180 s warm (hybrid npz +
+    # compile cache), ~900 s cold (graph gen + host block build + first
+    # tunnel compiles).
+    warm = os.path.exists(os.path.join(CACHE_DIR,
+                                       "reddit_full_s4_hybrid.npz"))
+    need = 240 if warm else 900
+    if _remaining() < need:
+        _LEGS["reddit_full"] = {"skipped": (
+            f"budget: {_remaining():.0f}s left < {need}s estimated "
+            f"({'warm' if warm else 'cold'} caches)"
+        )}
+    else:
+        _run_leg("reddit_full", lambda: _measure(
+            ts, device_time, *_reddit_full_graph(ts),
+            "reddit-full (233K nodes / 150M nnz, community)"))
+    _emit()
 
 
 if __name__ == "__main__":

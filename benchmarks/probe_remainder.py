@@ -83,10 +83,17 @@ def main():
         lambda m, hb: hyb.hybrid_spmm(hb, m), mat, h_blocks,
         n_lo=2, n_hi=6,
     )
-    report("block pass alone", dt, E - E_rest)
+    report("block pass alone", dt, h.dense_nnz)
 
     # 3. remainder raw gather+sum floor: per-bucket wide takes, no
     #    values, no inv_perm (the two-pass lower bound for this table).
+    #    The loop gathers every SLOT including padding, so the per-edge
+    #    rate divides by the slot count; device_time chains the step
+    #    through a fori_loop, so the carry must keep the (M, K) shape —
+    #    `m + tot` broadcasts the (1, K) total at negligible cost next
+    #    to the 15M-slot gather.
+    n_slots = sum(int(np.prod(idx.shape)) for idx in ell.idxs)
+
     def raw(m, e):
         tot = jnp.zeros((1, K), m.dtype)
         for idx in e.idxs:
@@ -97,10 +104,11 @@ def main():
                 tot = tot + jnp.sum(
                     jnp.take(m, idx[:, s:en], axis=0), axis=(0, 1)
                 )[None]
-        return tot
+        return m + tot
 
     dt = device_time(raw, mat, ell, n_lo=2, n_hi=6)
-    report("remainder raw gather+reduce", dt, E_rest)
+    report(f"remainder raw gather+reduce ({n_slots / E_rest:.3f}x slots)",
+           dt, n_slots)
 
 
 if __name__ == "__main__":
