@@ -48,7 +48,9 @@ def build_graph(scale: float, seed: int = 0):
     intra = rng.rand(E) < 0.8
     c = comm[src[intra]]
     lo, hi = comm_ptr[c], comm_ptr[c + 1]
-    dst_intra = order[(lo + (rng.rand(int(intra.sum())) * (hi - lo)).astype(np.int64))]
+    dst_intra = order[
+        lo + (rng.rand(int(intra.sum())) * (hi - lo)).astype(np.int64)
+    ]
     dst = rng.randint(0, M, E).astype(np.int64)
     dst[intra] = dst_intra
     return M, src, dst
@@ -86,7 +88,8 @@ def main():
         row=src, col=dst, sparse_sizes=(M, M),
     ).coalesce("add")
     E = int(A.nnz())
-    _log("at construct_coalesce_s"); report["construct_coalesce_s"] = round(time.time() - t0, 2)
+    _log("at construct_coalesce_s")
+    report["construct_coalesce_s"] = round(time.time() - t0, 2)
     report["nodes"], report["nnz"] = M, E
 
     # 2. 8-way partition

@@ -9,7 +9,7 @@ the projected features so the gather width is the hidden size.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ per-block offsets).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple, Union
+from typing import List, Tuple, Union
 
 import jax.numpy as jnp
 

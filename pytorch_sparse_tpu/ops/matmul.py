@@ -36,13 +36,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import dtypes
 
-from ..storage import SparseStorage
 from ..tensor import SparseTensor
 from .kernels.ell import (
     ell_edge_dot, ell_minmax_bwd, ell_spmm, ell_spmm_minmax,
 )
 from .kernels.hybrid import hybrid_spmm, hybrid_spmm_t
-from .segment import segment_count, segment_mean, segment_min, segment_max, segment_sum
+from .segment import (segment_count, segment_mean, segment_min,
+                      segment_max, segment_sum)
 from ..utils.host_sort import stable_argsort
 
 

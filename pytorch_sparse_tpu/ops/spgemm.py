@@ -32,7 +32,7 @@ concrete (not JAX tracers), else chunked-differentiable.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

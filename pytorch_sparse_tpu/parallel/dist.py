@@ -41,7 +41,7 @@ which beats XLA's scatter lowering ~3x on TPU.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ops.permute import permute
 from ..tensor import SparseTensor
-from ..utils.convert import INDEX_DTYPE, ind2ptr
+from ..utils.convert import INDEX_DTYPE
 from ..utils.host_sort import stable_argsort
 
 

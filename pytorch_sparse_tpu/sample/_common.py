@@ -7,7 +7,7 @@ relabeling) become vectorized numpy: first-seen-order unique assignment via
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import numpy as np
 

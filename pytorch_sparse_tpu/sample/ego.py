@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..tensor import SparseTensor
-from ..utils.convert import INDEX_DTYPE, to_index_array
+from ..utils.convert import to_index_array
 from ._common import Seed, as_generator, sample_per_row
 
 

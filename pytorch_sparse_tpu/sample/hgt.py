@@ -11,7 +11,7 @@ from typing import Dict, List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.convert import INDEX_DTYPE, to_index_array
+from ..utils.convert import to_index_array
 from ._common import Seed, as_generator
 
 MAX_NEIGHBORS = 50  # reference hgt_sample_cpu.cpp:9

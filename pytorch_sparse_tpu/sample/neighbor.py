@@ -16,13 +16,13 @@ Three variants, same shapes as the reference ops
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.convert import INDEX_DTYPE, to_index_array
-from ._common import Seed, as_generator, sample_per_row
+from ..utils.convert import to_index_array
+from ._common import Seed, as_generator
 from ..utils.host_sort import stable_argsort
 
 

@@ -7,7 +7,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.convert import INDEX_DTYPE, to_index_array
+from ..utils.convert import to_index_array
 from ._common import expand_ranges, first_seen_relabel
 
 

@@ -10,7 +10,6 @@ package observes identical behavior on CPU and TPU.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

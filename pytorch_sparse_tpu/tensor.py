@@ -14,14 +14,14 @@ time, mirroring the reference's monkey-patching op modules
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple, Union
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .storage import SparseStorage, _is_concrete
-from .utils.convert import INDEX_DTYPE, ind2ptr
+from .storage import SparseStorage
+from .utils.convert import INDEX_DTYPE
 
 
 class SparseTensor:

@@ -41,7 +41,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # XLA compiles are slow on this host; a persistent compile cache makes
 # repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache_" + os.environ.get("JAX_PLATFORMS", "axon"))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    "/root/.cache/jax_cache_" + os.environ.get("JAX_PLATFORMS", "axon"),
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # Note: leave jax_persistent_cache_enable_xla_caches at its default — the

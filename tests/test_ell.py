@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 import pytorch_sparse_tpu as ts
-from pytorch_sparse_tpu.ops.kernels.ell import build_ell, ell_spmm
+from pytorch_sparse_tpu.ops.kernels.ell import ell_spmm
 
 
 def _random_graph(M, N, E, seed=0, with_value=True):

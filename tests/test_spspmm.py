@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from pytorch_sparse_tpu import SparseTensor, spspmm
-from pytorch_sparse_tpu.testing import grad_dtypes, tensor
+from pytorch_sparse_tpu.testing import tensor
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32])

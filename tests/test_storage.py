@@ -1,6 +1,5 @@
 """Port of reference ``test/test_storage.py`` (cache-state discipline)."""
 
-from itertools import product
 
 import jax.numpy as jnp
 import pytest
