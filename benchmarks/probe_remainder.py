@@ -39,14 +39,16 @@ M = 232_965
 
 
 def main():
-    cache = os.path.expanduser(
-        "~/.cache/pytorch_sparse_tpu_bench/reddit_full_s4.npz"
-    )
-    d = np.load(cache)
-    A = ts.SparseTensor(
-        row=d["row"], col=d["col"], value=jnp.asarray(d["value"]),
-        sparse_sizes=(M, M), is_sorted=True, trust_data=True,
-    )
+    cache_dir = os.path.expanduser("~/.cache/pytorch_sparse_tpu_bench")
+    hyb_cache = os.path.join(cache_dir, "reddit_full_s4_hybrid.npz")
+    if os.path.exists(hyb_cache):
+        A = ts.load_npz(hyb_cache)        # hybrid view rides the npz
+    else:
+        d = np.load(os.path.join(cache_dir, "reddit_full_s4.npz"))
+        A = ts.SparseTensor(
+            row=d["row"], col=d["col"], value=jnp.asarray(d["value"]),
+            sparse_sizes=(M, M), is_sorted=True, trust_data=True,
+        )
     E = int(A.nnz())
     h = A.storage.hybrid()
     assert isinstance(h, hyb.HybridFormat), type(h)

@@ -38,6 +38,42 @@ def make_graph(M, E, seed=0, power=1.1):
     return jnp.asarray(row), jnp.asarray(col), jnp.asarray(value)
 
 
+def make_banded(M, E, seed=0, bandwidth=2000):
+    """ldoor/StocF-like long-row banded synthetic (FEM regime): every
+    row holds ~E/M nnz confined to a ``|i-j| <= bandwidth`` band — the
+    reference's long-row SuiteSparse matrices (GHS_psdef/ldoor avg row
+    49, Janna/StocF-1465 avg 71; ``benchmark/main.py:13-29``) are this
+    shape.  High column locality, near-uniform degrees."""
+    rng = np.random.RandomState(seed)
+    row = np.sort(rng.randint(0, M, E).astype(np.int32))
+    offs = rng.randint(-bandwidth, bandwidth + 1, E)
+    col = np.clip(row.astype(np.int64) + offs, 0, M - 1).astype(np.int32)
+    order = np.lexsort((col, row))
+    row, col = row[order], col[order]
+    value = rng.randn(E).astype(np.float32)
+    return jnp.asarray(row), jnp.asarray(col), jnp.asarray(value)
+
+
+def make_family(name, M, E, seed=0):
+    """The four graph regimes of the bench protocol, mirroring the
+    reference's SuiteSparse spread (short-row/web, power-law hub,
+    long-row banded FEM, community)."""
+    if name == "uniform":
+        return make_graph(M, E, seed, power=0)
+    if name == "powerlaw":
+        return make_graph(M, E, seed, power=1.1)
+    if name == "banded":
+        return make_banded(M, E, seed)
+    if name == "community":
+        from pytorch_sparse_tpu.testing import community_graph
+
+        A = community_graph(M, E, n_comm=max(M // 800, 2), seed=seed,
+                            equal_sizes=True)
+        r, c, v = A.coo()
+        return r, c, v
+    raise ValueError(f"unknown graph family {name!r}")
+
+
 @partial(jax.jit, static_argnames=("M",))
 def spmm_scatter(row, col, value, mat, M):
     h = jnp.take(mat, col, axis=0) * value[:, None]
@@ -177,13 +213,18 @@ def main():
                    default=[1, 16, 32, 64, 128, 256, 512])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--variants", nargs="+", default=list(VARIANTS))
+    p.add_argument("--graph", default="powerlaw",
+                   choices=["uniform", "powerlaw", "banded", "community"],
+                   help="graph regime (reference protocol spans "
+                        "short-row, power-law, long-row banded and "
+                        "community matrices)")
     p.add_argument("--backward", action="store_true",
                    help="time forward+backward (grads wrt value and mat)")
     args = p.parse_args()
 
-    row, col, value = make_graph(args.M, args.E)
+    row, col, value = make_family(args.graph, args.M, args.E)
     dev = jax.devices()[0]
-    print(f"# device={dev}, M={args.M}, E={args.E}")
+    print(f"# device={dev}, graph={args.graph}, M={args.M}, E={args.E}")
 
     for K in args.K:
         mat = jnp.asarray(

@@ -160,11 +160,14 @@ def main():
         t0 = time.perf_counter()
         for batch in loader:
             params, opt_state, loss = step(params, opt_state, batch)
-        loss.block_until_ready()
+        # block_until_ready does not block through the remote tunnel
+        # (CLAUDE.md); the host transfer waits on the whole sequential
+        # step chain, so it IS the honest end-to-end drain.
+        loss_val = float(loss)
         wall = time.perf_counter() - t0
         print(
             f"minibatch SAGE (prefetch x{args.workers}): final "
-            f"loss={float(loss):.4f}  {args.steps / wall:.2f} steps/s "
+            f"loss={loss_val:.4f}  {args.steps / wall:.2f} steps/s "
             f"end-to-end ({wall / args.steps * 1e3:.2f} ms/step, "
             f"batch={args.batch}, fanouts={args.fanouts})"
         )
@@ -176,7 +179,9 @@ def main():
         batch = make_batch(it)
         t1 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, batch)
-        loss.block_until_ready()
+        # the host transfer is the only honest device sync through the
+        # remote tunnel (block_until_ready returns early, CLAUDE.md)
+        loss_val = float(loss)
         t2 = time.perf_counter()
         if it == 0:  # exclude compile from averages AND the wall clock
             t_start += t2 - t0
@@ -186,7 +191,7 @@ def main():
     wall = time.perf_counter() - t_start
     n = max(args.steps - 1, 1)
     print(
-        f"minibatch SAGE: final loss={float(loss):.4f}  "
+        f"minibatch SAGE: final loss={loss_val:.4f}  "
         f"sample+pad {sample_ms/n:.2f} ms/batch, "
         f"train step {step_ms/n:.2f} ms/batch, "
         f"{n / wall:.2f} steps/s end-to-end "
