@@ -31,16 +31,29 @@ import numpy as np
 from ...utils.host_sort import stable_argsort
 
 # Per-edge unrolled gather-add chains fuse well up to this bucket width;
-# wider buckets use the 2-D-index gather + sum formulation.
+# wider buckets use the row-chunked 2-D-index gather + sum formulation.
 UNROLL_MAX = 64
 
 # Maximum number of degree buckets (bounds compiled-program size).
 _MAX_BUCKETS = 14
 
-# Wide buckets sum their slots in column chunks sized so the
-# (R, chunk, K) gather intermediate stays near this element budget
-# (power-law max degrees can reach into the millions).
+# Auxiliary passes (edge dot, minmax, softmax) sum wide buckets in
+# column chunks sized so the (R, chunk, K) gather intermediate stays
+# near this element budget (power-law max degrees reach the millions).
 _CHUNK_ELEMS = 16_000_000
+
+# The forward SpMM sums wide buckets in ROW chunks (whole cap at once,
+# rows split to this element budget): measured on v5e at the
+# full-Reddit remainder (15.6M edges, 233K-row table), the achieved
+# gather bandwidth depends non-monotonically on the issuing shape —
+# 2M-elem (8 MB) row chunks are the best measured point (73.9 ms =
+# 4.73 ns/e vs 117.1 ms for the old 64 MB column chunks), with 3M/6M/8M
+# budgets measured BAD points (99-122 ms) — the terrain is spiky, so
+# re-measure before touching this (probe_remainder_sweep{,2,3}.py
+# tables in BASELINE.md).  Small caps (<= UNROLL_MAX) keep the unrolled
+# per-slot chain: row-chunking them measured SLOWER at arxiv scale
+# (4.9 vs 4.35 ms).
+_ROW_CHUNK_ELEMS = 2_000_000
 
 
 def _chunk_cols(R: int, cap: int, K: int) -> int:
@@ -256,7 +269,12 @@ def _bucket_sum(mat, idx, vals):
     """Per-bucket row sums: sum_j vals[:, j] * mat[idx[:, j]].
 
     Additions run left-to-right in slot order (CSR edge order), matching
-    the reference kernels' sequential row scan.
+    the reference kernels' sequential row scan.  Wide buckets gather
+    whole slot-table rows at once, chunked along the ROW dimension —
+    the best measured issuing shape for XLA:TPU's gather at large
+    tables (see ``_ROW_CHUNK_ELEMS``).  The per-row ``jnp.sum`` keeps
+    a fixed left-to-right addition order, so results remain bit-exact
+    vs the reference row scan.
     """
     cap = idx.shape[1]
     if cap <= UNROLL_MAX:
@@ -264,16 +282,28 @@ def _bucket_sum(mat, idx, vals):
         for j in range(1, cap):
             acc = acc + jnp.take(mat, idx[:, j], axis=0) * vals[:, j, None]
         return acc
-    # Chunk wide buckets so the (R, chunk, K) gather intermediate stays
-    # bounded (power-law max degrees reach the millions).
-    acc = None
-    step = _chunk_cols(idx.shape[0], cap, mat.shape[1])
-    for s in range(0, cap, step):
-        e = min(s + step, cap)
-        h = jnp.take(mat, idx[:, s:e], axis=0) * vals[:, s:e, None]
-        part = jnp.sum(h, axis=1)
-        acc = part if acc is None else acc + part
-    return acc
+    R, K = idx.shape[0], mat.shape[1]
+    if cap * K > _ROW_CHUNK_ELEMS:
+        # Hub buckets (power-law caps into the millions): one full row
+        # exceeds the chunk budget, so chunk along the cap instead.
+        acc = None
+        step = _chunk_cols(R, cap, K)
+        for s in range(0, cap, step):
+            e = min(s + step, cap)
+            h = jnp.take(mat, idx[:, s:e], axis=0) * vals[:, s:e, None]
+            part = jnp.sum(h, axis=1)
+            acc = part if acc is None else acc + part
+        return acc
+    step = max(1, _ROW_CHUNK_ELEMS // max(cap * K, 1))
+    if step >= R:
+        h = jnp.take(mat, idx, axis=0) * vals[..., None]
+        return jnp.sum(h, axis=1)
+    parts = []
+    for s in range(0, R, step):
+        e = min(s + step, R)
+        h = jnp.take(mat, idx[s:e], axis=0) * vals[s:e][..., None]
+        parts.append(jnp.sum(h, axis=1))
+    return jnp.concatenate(parts, axis=0)
 
 
 def ell_spmm(

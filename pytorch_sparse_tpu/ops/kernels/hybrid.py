@@ -117,6 +117,60 @@ def _prec(precision):
     return _BLOCK_PRECISION if precision is None else precision
 
 
+# ----------------------------------------------------------------------
+# Block/dense STORE dtype rule (VERDICT r3 item 3).
+#
+# A bf16 store halves the HBM read of the MXU routes — the dense-route
+# matmul is read-bound, so that is a measured ~2x — but unlike the
+# bf16x3 COMPUTE decomposition it loses information at rest: once the
+# stored values are rounded, no compute precision recovers them.  The
+# router therefore picks the store dtype from the MEASURED quantization
+# error of the actual values (``quantization_rel_err``): bf16 when the
+# values round-trip exactly (unweighted graphs, integer counts — the
+# common GNN adjacency case) or when the error fits the user-declared
+# budget.  The f32 operand's own rounding is kept OUT of the product by
+# the k-concat split (``_bf16_store_matmul``): both bf16 components of
+# x ride one widened matmul, so the store is still read once.
+# ----------------------------------------------------------------------
+
+_STORE_BUDGET = 0.0
+
+
+def set_store_budget(rel_err: float) -> None:
+    """Declare the acceptable relative output error from storing dense
+    blocks in bf16.  Default 0.0: bf16 stores are chosen only when the
+    values quantize LOSSLESSLY (e.g. implicit-ones adjacency).  A
+    training loop that tolerates ~1e-3 (GNN aggregation does) can set
+    2e-3 and halve the dense-route HBM read."""
+    global _STORE_BUDGET
+    _STORE_BUDGET = float(rel_err)
+
+
+def get_store_budget() -> float:
+    return _STORE_BUDGET
+
+
+def quantization_rel_err(values: Optional[np.ndarray]) -> float:
+    """RMS relative error of storing ``values`` in bf16 (host-side).
+    ``None`` (implicit ones) is exact.  This is the measured rule behind
+    the router's store-dtype choice: the SpMM output's relative error is
+    bounded by (and empirically tracks) this value."""
+    if values is None:
+        return 0.0
+    v = np.asarray(values)
+    if v.dtype.kind != "f" or v.size == 0:
+        return 0.0
+    import ml_dtypes
+
+    d = v.astype(np.float32) - v.astype(ml_dtypes.bfloat16).astype(
+        np.float32
+    )
+    denom = float(np.sqrt(np.mean(np.square(v, dtype=np.float64))))
+    if denom == 0.0:
+        return 0.0
+    return float(np.sqrt(np.mean(np.square(d, dtype=np.float64)))) / denom
+
+
 # Measured constants behind the break-even (v5e, BASELINE.md).
 _HBM_BW = 819e9          # bytes/s
 _MXU_BF16 = 197e12       # flops/s (bf16 multiply, f32 accumulate)
@@ -520,6 +574,29 @@ def _mxu_einsum_impl(eq, ab, vb, acc_dtype, precision):
     DEFAULT pass; plain (unbatched) dots are unaffected and keep using
     the requested precision (``dense_spmm``)."""
     if ab.dtype in (jnp.bfloat16, jnp.float16):
+        if isinstance(precision, tuple):
+            precision = precision[0]
+        parts = {jax.lax.Precision.HIGH: 2,
+                 jax.lax.Precision.HIGHEST: 3}.get(precision, 1)
+        lhs, out_spec = eq.split("->")
+        rhs = lhs.split(",")[1]
+        # k-concat split: when the second operand's trailing axis is
+        # FREE (not contracted), its bf16 components ride ONE widened
+        # matmul — the multi-GB store is read once, and the f32
+        # operand's rounding drops out of the product (the store's own
+        # quantization is then the only error source).
+        if (parts > 1 and rhs[-1] == out_spec[-1]
+                and ab.dtype == jnp.bfloat16
+                and vb.dtype == jnp.float32):
+            k = vb.shape[-1]
+            vcat = jnp.concatenate(_split_bf16(vb, parts), axis=-1)
+            o = jnp.einsum(eq, ab, vcat,
+                           precision=jax.lax.Precision.DEFAULT,
+                           preferred_element_type=acc_dtype)
+            out = o[..., :k]
+            for i in range(1, parts):
+                out = out + o[..., i * k:(i + 1) * k]
+            return out
         vb = vb.astype(ab.dtype)
         return jnp.einsum(eq, ab, vb,
                           precision=jax.lax.Precision.DEFAULT,
@@ -697,24 +774,46 @@ def hybrid_spmm_t(h, g: jnp.ndarray, precision=None,
     return out
 
 
+def _dense_matmul(a, x, precision, acc):
+    """``a @ x`` with the store-dtype rules: a bf16 store at
+    HIGH/HIGHEST runs the k-concat split (one read of ``a``, both bf16
+    components of ``x`` in one widened matmul — only the store's own
+    quantization remains as error); other dtype mixes cast the small
+    operand to the store dtype."""
+    if a.dtype == jnp.bfloat16 and x.dtype == jnp.float32:
+        if isinstance(precision, tuple):
+            precision = precision[0]
+        parts = {jax.lax.Precision.HIGH: 2,
+                 jax.lax.Precision.HIGHEST: 3}.get(precision, 1)
+        if parts > 1:
+            k = x.shape[1]
+            xcat = jnp.concatenate(_split_bf16(x, parts), axis=1)
+            o = jnp.matmul(a, xcat,
+                           precision=jax.lax.Precision.DEFAULT,
+                           preferred_element_type=acc)
+            out = o[:, :k]
+            for i in range(1, parts):
+                out = out + o[:, i * k:(i + 1) * k]
+            return out
+        return jnp.matmul(a, x.astype(a.dtype),
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=acc)
+    return jnp.matmul(
+        a, x.astype(a.dtype) if a.dtype != x.dtype else x,
+        precision=precision, preferred_element_type=acc,
+    )
+
+
 def dense_spmm(d: DenseFormat, x: jnp.ndarray,
                precision=None) -> jnp.ndarray:
     acc = jnp.promote_types(x.dtype, jnp.float32)
-    out = jnp.matmul(
-        d.dense, x.astype(d.dense.dtype) if d.dense.dtype != x.dtype else x,
-        precision=_prec(precision), preferred_element_type=acc,
-    )
-    return out.astype(x.dtype)
+    return _dense_matmul(d.dense, x, _prec(precision), acc).astype(x.dtype)
 
 
 def dense_spmm_t(d: DenseFormat, g: jnp.ndarray,
                  precision=None) -> jnp.ndarray:
     acc = jnp.promote_types(g.dtype, jnp.float32)
-    out = jnp.matmul(
-        d.dense.T, g.astype(d.dense.dtype) if d.dense.dtype != g.dtype else g,
-        precision=_prec(precision), preferred_element_type=acc,
-    )
-    return out.astype(g.dtype)
+    return _dense_matmul(d.dense.T, g, _prec(precision), acc).astype(g.dtype)
 
 
 def build_hybrid_from_tensor(A, B: int = 512,

@@ -809,6 +809,7 @@ class SparseStorage:
             return None  # tracing: decide on a later eager call
         from .ops.kernels.hybrid import (
             block_break_even, build_dense, build_hybrid, dense_fraction,
+            get_store_budget, quantization_rel_err,
         )
 
         # build_hybrid allocates blocks in the value dtype (f32 for
@@ -817,26 +818,35 @@ class SparseStorage:
             4, jnp.dtype(value.dtype).itemsize
         )
         val = None if value is None else np.asarray(value)
+        # Store-dtype rule (MEASURED, VERDICT r3 item 3): bf16 stores
+        # halve the read-bound MXU routes, but round the values at rest.
+        # Pick bf16 when the actual values' quantization error fits the
+        # declared budget (default 0.0 = lossless only: implicit ones,
+        # integer counts); q is the empirical output-error scale.
+        q = quantization_rel_err(val) if elem <= 4 else float("inf")
+        store_bf16 = q <= get_store_budget()
+        s_elem = 2 if store_bf16 else elem
         # Whole-matrix dense route: overall density past the block
         # break-even means EVERY block region pays to densify — skip the
         # tables and run one MXU matmul (probe_hybrid_forms.py: ~3x over
         # the block walk at Reddit-10% density).
         E = row.shape[0]
         if (E / (M * N) >= block_break_even(B)
-                and M * N * elem <= self._DENSE_MAX_BYTES):
-            self._hybrid = build_dense(row, col, val, M, N)
+                and M * N * s_elem <= self._DENSE_MAX_BYTES):
+            self._hybrid = build_dense(
+                row, col, val, M, N,
+                dtype=jnp.bfloat16 if store_bf16 else None,
+            )
             return self._hybrid
         frac, nb = dense_fraction(row, col, M, N, B=B)
         if frac < self._HYBRID_MIN_FRACTION:
             self._hybrid_skip = True
             return None
-        # Block-store budget: fall back to bf16 blocks when the f32
-        # store would blow the cap (halves bytes AND read traffic; the
-        # block dots multiply in bf16 at DEFAULT precision anyway, so
-        # only the stored values round — full-Reddit measured slice err
-        # stays within the bench gate, BASELINE.md).
-        block_dtype = None
-        blk_bytes = (nb + 1) * B * B * elem
+        # Block store: bf16 within the declared budget, and as the
+        # fallback when the f32 store would blow the HBM cap (halves
+        # bytes AND read traffic).
+        block_dtype = jnp.bfloat16 if store_bf16 else None
+        blk_bytes = (nb + 1) * B * B * s_elem
         if blk_bytes > self._HYBRID_MAX_BLOCK_BYTES:
             if (elem <= 4
                     and (nb + 1) * B * B * 2 <= self._HYBRID_MAX_BLOCK_BYTES):

@@ -416,3 +416,108 @@ def test_multichunk_scan_and_sentinel_padding(monkeypatch):
     scale = np.abs(np.asarray(g_ref)).max()
     rel = np.abs(np.asarray(g) - np.asarray(g_ref)).max() / scale
     assert rel < 2e-4, rel
+
+
+def test_bf16_store_kcat_split_accuracy():
+    """A bf16 dense STORE at HIGH runs the k-concat split: both bf16
+    components of x ride one widened matmul, so the only error left is
+    the store's own quantization — measured here against the exact
+    contents of the store (x rounding eliminated), and strictly better
+    than the 1-pass DEFAULT cast."""
+    from pytorch_sparse_tpu.ops.kernels.hybrid import (
+        DenseFormat, dense_spmm, dense_spmm_t,
+    )
+
+    rng = np.random.RandomState(13)
+    M = 128
+    a = rng.randn(M, M).astype(np.float32)
+    a_bf = jnp.asarray(a).astype(jnp.bfloat16)
+    a_rt = np.asarray(a_bf.astype(jnp.float32))  # exact store contents
+    d = DenseFormat(a_bf, M, M)
+    x = jnp.asarray(rng.randn(M, 16).astype(np.float32))
+    ref = a_rt @ np.asarray(x)
+    scale = np.abs(ref).max()
+    hi = np.asarray(dense_spmm(d, x, precision=jax.lax.Precision.HIGH))
+    lo = np.asarray(dense_spmm(d, x, precision=jax.lax.Precision.DEFAULT))
+    assert np.abs(hi - ref).max() / scale < 5e-5
+    assert np.abs(hi - ref).max() < np.abs(lo - ref).max()
+    g = jnp.asarray(rng.randn(M, 16).astype(np.float32))
+    ref_t = a_rt.T @ np.asarray(g)
+    hi_t = np.asarray(dense_spmm_t(d, g, precision=jax.lax.Precision.HIGH))
+    assert np.abs(hi_t - ref_t).max() / np.abs(ref_t).max() < 5e-5
+
+
+def test_hybrid_bf16_blocks_kcat_precision():
+    """bf16 BLOCK store with bf16-exact values: the batched einsum's
+    k-concat split keeps the output at f32-oracle accuracy (store is
+    lossless, x rounding eliminated), including through the gradient."""
+    rng = np.random.RandomState(14)
+    M, E = 160, 5000
+    row, col = rng.randint(0, M, E), rng.randint(0, M, E)
+    val = rng.randint(1, 8, E).astype(np.float32)  # bf16-exact
+    h = build_hybrid(row, col, val, M, M, B=32, min_density=0.0,
+                     block_dtype=jnp.bfloat16)
+    assert h.blocks.dtype == jnp.bfloat16 and h.ell is None
+    dense = np.zeros((M, M), np.float32)
+    np.add.at(dense, (row, col), val)
+    x = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    out = np.asarray(jax.jit(hybrid_spmm)(h, x))
+    ref = dense @ np.asarray(x)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+    g = jax.grad(lambda xx: (hybrid_spmm(h, xx) ** 2).sum())(x)
+    g_ref = jax.grad(
+        lambda xx: ((jnp.asarray(dense) @ xx) ** 2).sum()
+    )(x)
+    rel = np.abs(np.asarray(g) - np.asarray(g_ref)).max()
+    rel /= np.abs(np.asarray(g_ref)).max()
+    assert rel < 1e-3, rel
+
+
+def test_store_budget_rule(monkeypatch):
+    """Router store-dtype rule (measured): lossless values pick the
+    bf16 store at budget 0; lossy f32 values keep f32 at budget 0 and
+    flip to bf16 inside a declared budget, with the output error at the
+    values' quantization scale."""
+    from pytorch_sparse_tpu.storage import SparseStorage
+    from pytorch_sparse_tpu.ops.kernels.hybrid import (
+        DenseFormat, quantization_rel_err, set_store_budget,
+    )
+
+    monkeypatch.setattr(SparseStorage, "_HYBRID_MIN_EDGES", 1000)
+    monkeypatch.setattr(SparseStorage, "_HYBRID_B", 32)
+    rng = np.random.RandomState(15)
+    M, E = 256, 40_000  # density well past the break-even
+
+    def make(values):
+        row, col = rng.randint(0, M, E), rng.randint(0, M, E)
+        A = SparseTensor(row=row, col=col,
+                         sparse_sizes=(M, M)).coalesce("add")
+        return A.set_value(jnp.asarray(values(A.nnz())), layout="coo")
+
+    # lossless (integer counts): bf16 store chosen at the default budget
+    A = make(lambda n: rng.randint(1, 9, n).astype(np.float32))
+    assert quantization_rel_err(np.asarray(A.storage.value())) == 0.0
+    d = A.storage.hybrid()
+    assert isinstance(d, DenseFormat) and d.dense.dtype == jnp.bfloat16
+    x = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    ref = np.asarray(A.to_dense()) @ np.asarray(x)
+    out = np.asarray(spmm_sum(A, x))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+
+    # lossy N(0,1) values: f32 at budget 0, bf16 inside a 2e-3 budget
+    B = make(lambda n: rng.randn(n).astype(np.float32))
+    q = quantization_rel_err(np.asarray(B.storage.value()))
+    assert 0.0 < q < 2e-3
+    d = B.storage.hybrid()
+    assert isinstance(d, DenseFormat) and d.dense.dtype == jnp.float32
+    try:
+        set_store_budget(2e-3)
+        B.storage._hybrid = None
+        B.storage._hybrid_skip = False
+        d = B.storage.hybrid()
+        assert isinstance(d, DenseFormat) and d.dense.dtype == jnp.bfloat16
+        ref = np.asarray(B.to_dense()) @ np.asarray(x)
+        out = np.asarray(spmm_sum(B, x))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 4 * q
+    finally:
+        set_store_budget(0.0)
