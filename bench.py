@@ -329,6 +329,14 @@ def main():
     _run_leg("uniform", lambda: _measure(
         ts, device_time, *_uniform_graph(ts),
         "uniform (ogbn-arxiv scale, adversarial)"))
+    uni = _LEGS.get("uniform")
+    if uni and "ms_per_spmm" in uni:
+        # Floor-relative: the measured two-pass bound at this table
+        # size (probe_ell_decomp round 4: 2.80 ms fused gather+reduce
+        # floor + 0.62 ms output permutation; single-pass fusion is not
+        # expressible on this toolchain — BASELINE.md "Why 0.31x").
+        uni["floor_ms"] = 3.42
+        uni["vs_floor"] = round(3.42 / uni["ms_per_spmm"], 4)
     _emit()    # cheap legs are now on stdout, whatever happens next
     set_store_budget(2e-3)     # a cold reddit rebuild picks bf16 blocks
 

@@ -51,6 +51,12 @@ def build():
         sparse_sizes=(M, M), is_sorted=True, trust_data=True,
     )
     A.storage.ell()
+    A.storage.ell_t()
+    # Prefill the baked slot tables too: cache builds are eager-only
+    # (storage._tracing — round-4 leak fix), so a cold-baked closure
+    # would silently measure the live-value gather path instead.
+    A.storage.ell_baked()
+    A.storage.ell_t_baked()
     mat = jnp.asarray(rng.randn(M, K).astype(np.float32))
     return A, mat
 

@@ -49,6 +49,29 @@ def _is_concrete(x) -> bool:
     return not isinstance(x, jax.core.Tracer)
 
 
+def _tracing() -> bool:
+    """True while a jit/vmap trace is active.  Cache BUILDS are
+    eager-only: when a tensor with cold caches is closed over by a
+    jitted function, its arrays are concrete (`_is_concrete` passes)
+    but any new device array built during the trace is entangled with
+    it — caching such an array on the shared storage object leaks it
+    into the next trace (jax 0.9 ``UnexpectedTracerError``).  Under
+    tracing the accessors return the already-filled cache or ``None``
+    (callers fall back to trace-safe paths); prefill eagerly for the
+    fast paths (``storage.ell()``, first eager ``spmm``, CLAUDE.md)."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return not trace_state_clean()
+    except Exception:
+        try:
+            from jax._src.core import EvalTrace, trace_ctx
+
+            return not isinstance(trace_ctx.trace, EvalTrace)
+        except Exception:
+            return False
+
+
 def _as_index(x) -> jnp.ndarray:
     # Host inputs cast in numpy first: a device-side astype is an eager
     # XLA op that recompiles for every new shape, which wrecks host-side
@@ -373,6 +396,18 @@ class SparseStorage:
         cache[name] = np.ascontiguousarray(arr, np.int64)
         return cache[name]
 
+    def _memo(self, attr: str, value: jnp.ndarray) -> jnp.ndarray:
+        """Memoize a derived device view — except while a trace is
+        active: device arrays created during tracing are entangled with
+        the trace, and a CLOSED-OVER storage object outlives it, so
+        caching one leaks it into later traces/eager calls (jax 0.9
+        ``UnexpectedTracerError``).  The numpy host cache (``_np_seed``)
+        still memoizes, so only the final device transfer repeats per
+        trace."""
+        if not _tracing():
+            setattr(self, attr, value)
+        return value
+
     def row(self) -> jnp.ndarray:
         if self._row is None:
             hptr = self._np_cached("rowptr")
@@ -382,9 +417,10 @@ class SparseStorage:
                     np.diff(hptr),
                 )
                 self._np_seed("row", hrow)
-                self._row = _as_index(hrow)
-            else:
-                self._row = ptr2ind(self._rowptr, self._col.shape[0])
+                return self._memo("_row", _as_index(hrow))
+            return self._memo(
+                "_row", ptr2ind(self._rowptr, self._col.shape[0])
+            )
         return self._row
 
     def has_rowptr(self) -> bool:
@@ -400,9 +436,10 @@ class SparseStorage:
                     np.arange(self._sparse_sizes[0] + 1, dtype=np.int64),
                 )
                 self._np_seed("rowptr", hptr)
-                self._rowptr = _as_index(hptr)
-            else:
-                self._rowptr = ind2ptr(self._row, self._sparse_sizes[0])
+                return self._memo("_rowptr", _as_index(hptr))
+            return self._memo(
+                "_rowptr", ind2ptr(self._row, self._sparse_sizes[0])
+            )
         return self._rowptr
 
     def col(self) -> jnp.ndarray:
@@ -551,13 +588,11 @@ class SparseStorage:
 
     def rowcount(self) -> jnp.ndarray:
         if self._rowcount is None:
-            self.rowptr()
+            rowptr = self.rowptr()
             hptr = self._np_cached("rowptr")
             if hptr is not None:
-                self._rowcount = _as_index(np.diff(hptr))
-            else:
-                rowptr = self.rowptr()
-                self._rowcount = rowptr[1:] - rowptr[:-1]
+                return self._memo("_rowcount", _as_index(np.diff(hptr)))
+            return self._memo("_rowcount", rowptr[1:] - rowptr[:-1])
         return self._rowcount
 
     def has_colptr(self) -> bool:
@@ -570,20 +605,17 @@ class SparseStorage:
                 counts = np.bincount(hcol, minlength=self._sparse_sizes[1])
                 hptr = np.concatenate([[0], np.cumsum(counts)])
                 self._np_seed("colptr", hptr)
-                self._colptr = _as_index(hptr)
-            elif self._csr2csc is not None:
-                self._colptr = ind2ptr(
+                return self._memo("_colptr", _as_index(hptr))
+            if self._csr2csc is not None:
+                return self._memo("_colptr", ind2ptr(
                     self._col[self._csr2csc], self._sparse_sizes[1]
-                )
-            else:
-                # counts -> cumulative sum (no sort needed).
-                counts = segment_count(
-                    self._col, self._sparse_sizes[1]
-                )
-                self._colptr = jnp.concatenate(
-                    [jnp.zeros((1,), INDEX_DTYPE),
-                     jnp.cumsum(counts).astype(INDEX_DTYPE)]
-                )
+                ))
+            # counts -> cumulative sum (no sort needed).
+            counts = segment_count(self._col, self._sparse_sizes[1])
+            return self._memo("_colptr", jnp.concatenate(
+                [jnp.zeros((1,), INDEX_DTYPE),
+                 jnp.cumsum(counts).astype(INDEX_DTYPE)]
+            ))
         return self._colptr
 
     def has_colcount(self) -> bool:
@@ -594,17 +626,18 @@ class SparseStorage:
             hcol = self._np_cached("col")
             hptr = self._np_cached("colptr")
             if hptr is not None:
-                self._colcount = _as_index(np.diff(hptr))
-            elif hcol is not None:
-                self._colcount = _as_index(
+                return self._memo("_colcount", _as_index(np.diff(hptr)))
+            if hcol is not None:
+                return self._memo("_colcount", _as_index(
                     np.bincount(hcol, minlength=self._sparse_sizes[1])
+                ))
+            if self._colptr is not None:
+                return self._memo(
+                    "_colcount", self._colptr[1:] - self._colptr[:-1]
                 )
-            elif self._colptr is not None:
-                self._colcount = self._colptr[1:] - self._colptr[:-1]
-            else:
-                self._colcount = segment_count(
-                    self._col, self._sparse_sizes[1]
-                ).astype(INDEX_DTYPE)
+            return self._memo("_colcount", segment_count(
+                self._col, self._sparse_sizes[1]
+            ).astype(INDEX_DTYPE))
         return self._colcount
 
     def has_csr2csc(self) -> bool:
@@ -621,11 +654,10 @@ class SparseStorage:
             if hcol is not None and hrow is not None:
                 perm = lexsort2(hcol, hrow)
                 self._np_seed("csr2csc", perm)
-                self._csr2csc = _as_index(perm)
-            else:
-                self._csr2csc = lexsort_rows(self._col, self.row()).astype(
-                    INDEX_DTYPE
-                )
+                return self._memo("_csr2csc", _as_index(perm))
+            return self._memo("_csr2csc", lexsort_rows(
+                self._col, self.row()
+            ).astype(INDEX_DTYPE))
         return self._csr2csc
 
     def csr2csc_decode_host(self):
@@ -644,7 +676,7 @@ class SparseStorage:
             return hperm, hcol[hperm], hrow[hperm]
         perm, col_s, row_s = lexsort2_decode(hcol, hrow)
         self._np_seed("csr2csc", perm)
-        if self._csr2csc is None:
+        if self._csr2csc is None and not _tracing():
             self._csr2csc = _as_index(perm)
         return perm, col_s, row_s
 
@@ -653,20 +685,18 @@ class SparseStorage:
 
     def csc2csr(self) -> jnp.ndarray:
         if self._csc2csr is None:
-            self.csr2csc()
+            csr2csc = self.csr2csc()
             hperm = self._np_cached("csr2csc")
             if hperm is not None:
                 inv = np.empty_like(hperm)
                 inv[hperm] = np.arange(hperm.shape[0], dtype=np.int64)
                 self._np_seed("csc2csr", inv)
-                self._csc2csr = _as_index(inv)
-            else:
-                csr2csc = self._csr2csc
-                self._csc2csr = (
-                    jnp.zeros_like(csr2csc)
-                    .at[csr2csc]
-                    .set(jnp.arange(csr2csc.shape[0], dtype=INDEX_DTYPE))
-                )
+                return self._memo("_csc2csr", _as_index(inv))
+            return self._memo("_csc2csr", (
+                jnp.zeros_like(csr2csc)
+                .at[csr2csc]
+                .set(jnp.arange(csr2csc.shape[0], dtype=INDEX_DTYPE))
+            ))
         return self._csc2csr
 
     # ------------------------------------------------------------------
@@ -684,6 +714,8 @@ class SparseStorage:
 
             from .ops.kernels.ell import build_ell
 
+            if _tracing():
+                return None  # eager-only build
             rowptr, col = self.rowptr(), self._col
             if not _is_concrete(rowptr) or not _is_concrete(col):
                 return None
@@ -704,6 +736,8 @@ class SparseStorage:
 
             from .ops.kernels.ell import build_ell
 
+            if _tracing():
+                return None  # eager-only build
             colptr = self.colptr()
             csr2csc = self.csr2csc()
             row = self.row()
@@ -728,27 +762,31 @@ class SparseStorage:
     # drops them (the edge-id ELL views themselves survive).
     # ------------------------------------------------------------------
     def ell_baked(self):
-        if self._value is None or not _is_concrete(self._value):
+        if getattr(self, "_ell_baked", None) is not None:
+            return self._ell_baked
+        if (self._value is None or not _is_concrete(self._value)
+                or _tracing()):
             return None
-        if getattr(self, "_ell_baked", None) is None:
-            ell = self.ell()
-            if ell is None:
-                return None
-            from .ops.kernels.ell import bake_values
+        ell = self.ell()
+        if ell is None:
+            return None
+        from .ops.kernels.ell import bake_values
 
-            self._ell_baked = bake_values(ell, self._value)
+        self._ell_baked = bake_values(ell, self._value)
         return self._ell_baked
 
     def ell_t_baked(self):
-        if self._value is None or not _is_concrete(self._value):
+        if getattr(self, "_ell_t_baked", None) is not None:
+            return self._ell_t_baked
+        if (self._value is None or not _is_concrete(self._value)
+                or _tracing()):
             return None
-        if getattr(self, "_ell_t_baked", None) is None:
-            ell_t = self.ell_t()
-            if ell_t is None:
-                return None
-            from .ops.kernels.ell import bake_values
+        ell_t = self.ell_t()
+        if ell_t is None:
+            return None
+        from .ops.kernels.ell import bake_values
 
-            self._ell_t_baked = bake_values(ell_t, self._value)
+        self._ell_t_baked = bake_values(ell_t, self._value)
         return self._ell_t_baked
 
     # ------------------------------------------------------------------
@@ -789,6 +827,8 @@ class SparseStorage:
             return self._hybrid
         if not auto or getattr(self, "_hybrid_skip", False):
             return None
+        if _tracing():
+            return None  # eager-only build; decide on a later call
         value = self._value
         if value is not None:
             if not _is_concrete(value):

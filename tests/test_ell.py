@@ -221,3 +221,44 @@ def test_batched_spmm(reduce):
             np.asarray(out[b]), np.asarray(A.spmm(mats[b], reduce)),
             atol=1e-5,
         )
+
+
+def test_cold_cache_closure_jit_no_tracer_leak():
+    """A tensor with COLD caches closed over by a jitted function must
+    not leak tracers: cache builds are eager-only (storage._tracing),
+    so under tracing the op falls back to the trace-safe segment path,
+    and repeated jits (different static shapes) stay consistent.
+    Regression: jax 0.9 UnexpectedTracerError via ell_baked filling
+    inside a fori_loop trace (probe_ell_decomp, round 4)."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    M, E = 300, 4000
+    row = np.sort(rng.randint(0, M, E))
+    col = rng.randint(0, M, E)
+    order = np.lexsort((col, row))
+    A = ts.SparseTensor(
+        row=jnp.asarray(row[order]), col=jnp.asarray(col[order]),
+        value=jnp.asarray(rng.randn(E).astype(np.float32)),
+        sparse_sizes=(M, M), is_sorted=True, trust_data=True,
+    )
+    assert not A.storage.has_ell()
+    x1 = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(M, 16).astype(np.float32))
+    f = jax.jit(lambda m: ts.spmm_sum(A, m))
+    out1 = f(x1)            # first trace: caches cold
+    out2 = f(x2)            # second trace (new K): must not see leaks
+    assert not A.storage.has_ell()  # no cache was built under tracing
+    dense = np.zeros((M, M), np.float32)
+    np.add.at(dense, (row[order], col[order]),
+              np.asarray(A.storage.value()))
+    np.testing.assert_allclose(np.asarray(out1), dense @ np.asarray(x1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2), dense @ np.asarray(x2),
+                               atol=1e-4)
+    # eager prefill engages the fast path for later jits
+    A.storage.ell(), A.storage.ell_t()
+    assert A.storage.has_ell()
+    out3 = jax.jit(lambda m: ts.spmm_sum(A, m))(x1)
+    np.testing.assert_allclose(np.asarray(out3), dense @ np.asarray(x1),
+                               atol=1e-4)
