@@ -177,12 +177,22 @@ _MXU_BF16 = 197e12       # flops/s (bf16 multiply, f32 accumulate)
 _ELL_NS_PER_NNZ = 2.9    # measured scatter-free edge cost at arxiv scale
 
 
-def block_break_even(B: int, K_hint: int = 128, elem: int = 4) -> float:
+def block_break_even(B: int, K_hint: int = 128, elem: int = 4,
+                     passes: float = 3.0) -> float:
     """Minimum block density at which densifying beats the ELL path,
-    from MEASURED rates: block cost = block read + ~2x X-block
-    temporaries + MXU time; edge cost = measured ELL ns/nnz."""
+    from MEASURED rates: block cost = block traffic + ~2x X-block
+    temporaries + MXU time; edge cost = measured ELL ns/nnz.
+
+    ``passes`` prices the HBM traffic of the precision mode: an f32
+    store at the library-default ``HIGH`` moves ~3x everything (the
+    bf16x3 decomposition writes split copies of the blocks AND runs
+    the temporaries three times — measured round 4: ~9.7 us/block at
+    (B=512, K=128) vs the traffic-only model's 1.4 us, and marginal
+    ~0.8%-dense blocks the old model said to densify ran 2x SLOWER
+    than ELL at arxiv-community scale).  A bf16 store at HIGH runs ONE
+    k-concat einsum over half the bytes (passes ~1)."""
     t_block = (
-        (B * B * elem + 3 * B * K_hint * 4) / _HBM_BW
+        passes * (B * B * elem + 3 * B * K_hint * 4) / _HBM_BW
         + 2.0 * B * B * K_hint / _MXU_BF16
     )
     edges = t_block / (_ELL_NS_PER_NNZ * 1e-9)

@@ -866,19 +866,24 @@ class SparseStorage:
         q = quantization_rel_err(val) if elem <= 4 else float("inf")
         store_bf16 = q <= get_store_budget()
         s_elem = 2 if store_bf16 else elem
+        # Break-even priced for the actual store dtype: f32 blocks at
+        # the default HIGH precision cost ~3x their raw read (bf16x3
+        # split copies + 3 passes), bf16 blocks run one k-concat pass.
+        be = block_break_even(B, elem=s_elem,
+                              passes=1.0 if store_bf16 else 3.0)
         # Whole-matrix dense route: overall density past the block
         # break-even means EVERY block region pays to densify — skip the
         # tables and run one MXU matmul (probe_hybrid_forms.py: ~3x over
         # the block walk at Reddit-10% density).
         E = row.shape[0]
-        if (E / (M * N) >= block_break_even(B)
+        if (E / (M * N) >= be
                 and M * N * s_elem <= self._DENSE_MAX_BYTES):
             self._hybrid = build_dense(
                 row, col, val, M, N,
                 dtype=jnp.bfloat16 if store_bf16 else None,
             )
             return self._hybrid
-        frac, nb = dense_fraction(row, col, M, N, B=B)
+        frac, nb = dense_fraction(row, col, M, N, B=B, min_density=be)
         if frac < self._HYBRID_MIN_FRACTION:
             self._hybrid_skip = True
             return None
@@ -895,6 +900,7 @@ class SparseStorage:
                 self._hybrid_skip = True
                 return None
         self._hybrid = build_hybrid(row, col, val, M, N, B=B,
+                                    min_density=be,
                                     block_dtype=block_dtype)
         return self._hybrid
 
