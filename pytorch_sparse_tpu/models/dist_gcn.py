@@ -28,12 +28,19 @@ class DistGCN:
     def apply(
         params: Dict, adj: ShardedSparseMatrix, x: jnp.ndarray,
         schedule: Optional[str] = None,
+        local_format: str = "auto",
     ) -> jnp.ndarray:
         """``schedule``: ring/allgather/halo for a flat
         ``ShardedSparseMatrix`` (default ring); a
         ``HierShardedSparseMatrix`` always runs its own hierarchical
         schedule — passing any other name for one is an error rather
-        than being silently ignored."""
+        than being silently ignored.
+
+        ``local_format``: the halo schedule's local compute
+        (:func:`dist_spmm_halo`).  GCN training differentiates features
+        and weights, never edge values, so the default ``"auto"``
+        safely uses the interior dense blocks (MXU) when the matrix
+        carries them."""
         from ..parallel.hier import HierShardedSparseMatrix, dist_spmm_hier
 
         hier = isinstance(adj, HierShardedSparseMatrix)
@@ -48,7 +55,8 @@ class DistGCN:
         for i, layer in enumerate(params["layers"]):
             x = x @ layer["w"]                       # shard-local (P,Nb,D)
             agg = (dist_spmm_hier(adj, x) if hier
-                   else dist_spmm(adj, x, schedule))
+                   else dist_spmm(adj, x, schedule,
+                                  local_format=local_format))
             x = agg + layer["b"]
             if i < n - 1:
                 x = jax.nn.relu(x)

@@ -522,6 +522,11 @@ def _scan_block_pass(blocks, bid, seg, src, xb, nseg, B, K, eq,
         ), None
 
     out0 = jnp.zeros((nseg, B, K), acc_dtype)
+    # Inherit the operand's varying-manual-axes: under shard_map a
+    # plain-zeros carry is unvarying while the body output varies over
+    # the mesh axis, and scan rejects the mismatch.  The scalar add
+    # fuses to nothing outside shard_map.
+    out0 = out0 + (xb.reshape(-1)[0] * 0).astype(acc_dtype)
     out, _ = jax.lax.scan(body, out0, (bid, seg, src))
     return out
 

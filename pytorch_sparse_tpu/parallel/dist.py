@@ -177,6 +177,78 @@ def _build_group_ell(
     )
 
 
+def _build_interior_blocks(int_groups, Mb: int, Nb: int, B: int):
+    """Per-shard dense (B, B) blocks of the halo interior + remainder
+    groups — the single-chip hybrid's MXU route (ops/kernels/hybrid.py)
+    made SPMD-uniform: every shard's slot list pads to the max occupied
+    block count with all-zero blocks (sentinel row ``Rb`` is dropped by
+    the segment-sum, col 0 multiplies a zero block).
+
+    Uses the same measured break-even and store-dtype rule as the
+    single-chip router.  Returns ``None`` when the interior doesn't
+    clear it (the ELL tables then carry the halo schedule alone);
+    otherwise ``(blocks, srow, scol, rest_groups)`` with ``blocks``
+    shaped ``(G, nbm + 1, B, B)`` (trailing all-zero chunk-pad block,
+    `hybrid._block_pass` contract)."""
+    from ..ops.kernels.hybrid import (
+        block_break_even, get_store_budget, quantization_rel_err,
+    )
+
+    G = len(int_groups)
+    tot = sum(g[0].size for g in int_groups)
+    if tot == 0 or min(Mb, Nb) < 2 * B:
+        return None
+    vals = np.concatenate([g[2] for g in int_groups])
+    store_bf16 = quantization_rel_err(vals) <= get_store_budget()
+    be = block_break_even(B, elem=2 if store_bf16 else 4,
+                          passes=1.0 if store_bf16 else 3.0)
+    thresh = max(int(be * B * B), 1)
+    Rb, Cb = _cdiv(Mb, B), _cdiv(Nb, B)
+    per = []
+    dense_tot = 0
+    for (r, c, v, e) in int_groups:
+        bkey = (r // B) * Cb + (c // B)
+        if bkey.size:
+            keys, inv_key, counts = np.unique(
+                bkey, return_inverse=True, return_counts=True
+            )
+            is_dense = counts >= thresh
+            dmask = is_dense[inv_key]
+            keys = keys[is_dense]
+            dense_tot += int(counts[is_dense].sum())
+        else:
+            keys = np.zeros(0, np.int64)
+            dmask = np.zeros(0, bool)
+        per.append((keys, dmask))
+    nbm = max(int(k.size) for k, _ in per)
+    if nbm == 0 or dense_tot / tot < 0.3:
+        return None
+    blocks = np.zeros((G, nbm + 1, B, B), np.float32)
+    srow = np.full((G, nbm), Rb, np.int32)
+    scol = np.zeros((G, nbm), np.int32)
+    rest_groups = []
+    for g, (r, c, v, e) in enumerate(int_groups):
+        keys, dmask = per[g]
+        nb = keys.size
+        d = np.flatnonzero(dmask)
+        if d.size:
+            slot = np.searchsorted(keys, (r[d] // B) * Cb + (c[d] // B))
+            np.add.at(
+                blocks, (g, slot, r[d] % B, c[d] % B),
+                v[d].astype(np.float32),
+            )
+        srow[g, :nb] = (keys // Cb).astype(np.int32)
+        scol[g, :nb] = (keys % Cb).astype(np.int32)
+        rest = np.flatnonzero(~dmask)
+        rest_groups.append((r[rest], c[rest], v[rest], e[rest]))
+    if store_bf16:
+        import ml_dtypes
+
+        blocks = blocks.astype(ml_dtypes.bfloat16)
+    return (jnp.asarray(blocks), jnp.asarray(srow), jnp.asarray(scol),
+            rest_groups)
+
+
 def _group_ell_apply(itabs, vtabs, inv, x):
     """out[r] = sum_j vtab[r, j] * x_ext[itab[r, j]] for one group.
 
@@ -302,7 +374,10 @@ class ShardedSparseMatrix:
                  fr_itabs=(), fr_vtabs=(), fr_inv=None,
                  serve_idx=None, halo_width: int = 0,
                  ring_etabs=(), flat_etabs=(), int_etabs=(), fr_etabs=(),
-                 rowcount=None, nnz: int = 0):
+                 rowcount=None, nnz: int = 0,
+                 int_blocks=None, int_srow=None, int_scol=None,
+                 rest_itabs=(), rest_vtabs=(), rest_inv=None,
+                 block_B: int = 512):
         self.mesh = mesh
         self.M, self.N = M, N
         self.Mb, self.Nb = Mb, Nb
@@ -334,10 +409,26 @@ class ShardedSparseMatrix:
         self.fr_etabs = tuple(fr_etabs)
         self.rowcount = rowcount
         self.nnz = nnz
+        # Hybrid local format (halo interior on the MXU): per-shard
+        # dense blocks + ELL remainder; None/() when not built.  Values
+        # are BAKED into the blocks (single-chip hybrid contract) —
+        # the ELL tables stay authoritative for value-differentiation
+        # and min/max.
+        self.int_blocks = int_blocks
+        self.int_srow = int_srow
+        self.int_scol = int_scol
+        self.rest_itabs = tuple(rest_itabs)
+        self.rest_vtabs = tuple(rest_vtabs)
+        self.rest_inv = rest_inv
+        self.block_B = block_B
+
+    def has_interior_blocks(self) -> bool:
+        return self.int_blocks is not None
 
     @classmethod
     def from_sparse_tensor(
-        cls, A: SparseTensor, mesh: Mesh
+        cls, A: SparseTensor, mesh: Mesh,
+        interior_blocks: str = "auto", block_B: int = 512,
     ) -> "ShardedSparseMatrix":
         """Partition ``A``'s rows into contiguous blocks of ``ceil(M/P)``.
 
@@ -437,6 +528,19 @@ class ShardedSparseMatrix:
             fr_groups, Mb, sentinel=Pn * H, E_total=E
         )
 
+        # Optional hybrid local format: interior dense blocks + ELL
+        # remainder (``local_format="hybrid"`` in dist_spmm_halo).
+        int_blocks = int_srow = int_scol = rest_inv = None
+        rest_itabs = rest_vtabs = ()
+        if interior_blocks != "never":
+            hyb = _build_interior_blocks(int_groups, Mb, Nb, block_B)
+            if hyb is not None:
+                int_blocks, int_srow, int_scol, rest_groups = hyb
+                rest_itabs, rest_vtabs, _unused, rest_inv, _ = (
+                    _build_group_ell(rest_groups, Mb, sentinel=Nb,
+                                     E_total=E)
+                )
+
         def put(x):
             ndim = x.ndim
             spec = P(data_axis, *([None] * (ndim - 1)))
@@ -458,6 +562,13 @@ class ShardedSparseMatrix:
             int_etabs=[put(t) for t in int_etabs],
             fr_etabs=[put(t) for t in fr_etabs],
             rowcount=put(jnp.asarray(rowcount)), nnz=E,
+            int_blocks=None if int_blocks is None else put(int_blocks),
+            int_srow=None if int_srow is None else put(int_srow),
+            int_scol=None if int_scol is None else put(int_scol),
+            rest_itabs=[put(t) for t in rest_itabs],
+            rest_vtabs=[put(t) for t in rest_vtabs],
+            rest_inv=None if rest_inv is None else put(rest_inv),
+            block_B=block_B,
         )
 
     # ------------------------------------------------------------------
@@ -501,22 +612,29 @@ def _shmat_flatten(s: ShardedSparseMatrix):
         s.fr_itabs, s.fr_vtabs, s.fr_inv,
         s.serve_idx,
         s.ring_etabs, s.flat_etabs, s.int_etabs, s.fr_etabs, s.rowcount,
+        s.int_blocks, s.int_srow, s.int_scol,
+        s.rest_itabs, s.rest_vtabs, s.rest_inv,
     )
-    return children, (s.mesh, s.M, s.N, s.Mb, s.Nb, s.halo_width, s.nnz)
+    return children, (s.mesh, s.M, s.N, s.Mb, s.Nb, s.halo_width, s.nnz,
+                      s.block_B)
 
 
 def _shmat_unflatten(aux, children) -> ShardedSparseMatrix:
-    mesh, M, N, Mb, Nb, halo_width, nnz = aux
+    mesh, M, N, Mb, Nb, halo_width, nnz, block_B = aux
     (ring_itabs, ring_vtabs, ring_inv, flat_itabs, flat_vtabs, flat_inv,
      int_itabs, int_vtabs, int_inv, fr_itabs, fr_vtabs, fr_inv,
      serve_idx, ring_etabs, flat_etabs, int_etabs, fr_etabs,
-     rowcount) = children
+     rowcount, int_blocks, int_srow, int_scol, rest_itabs, rest_vtabs,
+     rest_inv) = children
     return ShardedSparseMatrix(
         mesh, M, N, Mb, Nb, ring_itabs, ring_vtabs, ring_inv,
         flat_itabs, flat_vtabs, flat_inv, int_itabs, int_vtabs, int_inv,
         fr_itabs, fr_vtabs, fr_inv, serve_idx, halo_width=halo_width,
         ring_etabs=ring_etabs, flat_etabs=flat_etabs, int_etabs=int_etabs,
         fr_etabs=fr_etabs, rowcount=rowcount, nnz=nnz,
+        int_blocks=int_blocks, int_srow=int_srow, int_scol=int_scol,
+        rest_itabs=rest_itabs, rest_vtabs=rest_vtabs, rest_inv=rest_inv,
+        block_B=block_B,
     )
 
 
@@ -651,6 +769,45 @@ def _halo_local(is_min, vary, int_itabs, int_vtabs, int_etabs, int_inv,
     return out[None], arg[None]
 
 
+def _halo_local_hyb(vary, Mb, B, blocks, srow, scol,
+                    rest_itabs, rest_vtabs, rest_inv,
+                    fr_itabs, fr_vtabs, fr_inv, serve_idx, x_local):
+    """Halo schedule with the hybrid local format: the interior's dense
+    blocks run as one batched MXU pass (hybrid._block_pass — k-concat
+    for bf16 stores, manual bf16-split for f32 at HIGH), the sparse
+    remainder and the frontier stay on the group-ELL tables.  Values
+    are baked in the blocks; gradients flow to x (through the
+    _mxu_einsum custom VJP), not to the interior value tables."""
+    from ..ops.kernels.hybrid import _block_pass, _prec
+
+    x = x_local[0]                                  # (Nb, K)
+    K = x.shape[1]
+    served = jnp.take(x, _pv(serve_idx[0], vary), axis=0)
+    halo = lax.all_to_all(
+        served, data_axis, split_axis=0, concat_axis=0, tiled=True
+    )
+    one = lambda ts: [_pv(t[0], vary) for t in ts]  # noqa: E731
+    Nb = x.shape[0]
+    Rb, Cb = _cdiv(Mb, B), _cdiv(Nb, B)
+    pad = Cb * B - Nb
+    xb = jnp.concatenate([x, jnp.zeros((pad, K), x.dtype)]) if pad else x
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    outb = _block_pass(
+        _pv(blocks[0], vary), _pv(srow[0], vary), _pv(scol[0], vary),
+        xb.reshape(Cb, B, K), Rb, B, K, acc, _prec(None),
+    )
+    out = outb.reshape(Rb * B, K)[:Mb].astype(x.dtype)
+    if rest_itabs:
+        out = out + _group_ell_apply(
+            one(rest_itabs), one(rest_vtabs), _pv(rest_inv[0], vary), x
+        )
+    out = out + _group_ell_apply(
+        one(fr_itabs), one(fr_vtabs), _pv(fr_inv[0], vary),
+        halo.reshape(-1, K),
+    )
+    return out[None]
+
+
 def _is_min_of(reduce: str):
     if reduce in ("sum", "add", "mean"):
         return None
@@ -679,15 +836,56 @@ def _postprocess(A, out, arg, reduce, dtype):
 
 
 def dist_spmm_halo(
-    A: ShardedSparseMatrix, x_sharded: jnp.ndarray, reduce: str = "sum"
+    A: ShardedSparseMatrix, x_sharded: jnp.ndarray, reduce: str = "sum",
+    local_format: str = "ell",
 ):
     """Halo-exchange SpMM: interior compute overlaps one all_to_all of
     only the referenced remote rows.  Returns (P, Mb, K); min/max also
-    return the argout (winning global edge id, sentinel nnz)."""
+    return the argout (winning global edge id, sentinel nnz).
+
+    ``local_format``: ``"ell"`` (default — the group-ELL tables, full
+    value differentiation), ``"hybrid"`` (interior dense blocks on the
+    MXU; sum/mean only, values baked so interior value tables get no
+    gradient), or ``"auto"`` (hybrid when built and applicable)."""
     is_min = _is_min_of(reduce)
     spec3 = P(data_axis, None, None)
     xspec = A._xspec
     vary = (feat_axis,) if A.Pf > 1 else ()
+    use_hyb = (
+        local_format in ("hybrid", "auto")
+        and A.has_interior_blocks() and is_min is None
+    )
+    if local_format == "hybrid" and not use_hyb:
+        raise ValueError(
+            "local_format='hybrid' needs interior blocks (built by "
+            "from_sparse_tensor(interior_blocks='auto') when the "
+            "density stats clear the break-even) and reduce in "
+            "sum/mean; use 'auto' to fall back silently"
+        )
+    if use_hyb:
+        spec2 = P(data_axis, None)
+        fn = jax.shard_map(
+            partial(_halo_local_hyb, vary, A.Mb, A.block_B),
+            mesh=A.mesh,
+            in_specs=(
+                P(data_axis, None, None, None),
+                spec2, spec2,
+                tuple(spec3 for _ in A.rest_itabs),
+                tuple(spec3 for _ in A.rest_vtabs),
+                P(data_axis, None),
+                tuple(spec3 for _ in A.fr_itabs),
+                tuple(spec3 for _ in A.fr_vtabs),
+                P(data_axis, None),
+                spec3,
+                xspec,
+            ),
+            out_specs=xspec,
+        )
+        res = fn(A.int_blocks, A.int_srow, A.int_scol,
+                 A.rest_itabs, A.rest_vtabs, A.rest_inv,
+                 A.fr_itabs, A.fr_vtabs, A.fr_inv,
+                 A.serve_idx, x_sharded)
+        return _postprocess(A, res, None, reduce, x_sharded.dtype)
     fn = jax.shard_map(
         partial(_halo_local, is_min, vary),
         mesh=A.mesh,
@@ -771,15 +969,18 @@ def dist_spmm_ring(
 def dist_spmm(
     A: ShardedSparseMatrix, x_sharded: jnp.ndarray,
     schedule: str = "ring", reduce: str = "sum",
+    local_format: str = "ell",
 ):
     """Reduce-aware distributed SpMM (the 4-mode contract of reference
     ``torch_sparse/matmul.py:79-91``, here across a device mesh).
     ``sum``/``mean`` return (P, Mb, K); ``min``/``max`` return
-    ``(out, arg)`` with the reference argout semantics."""
+    ``(out, arg)`` with the reference argout semantics.
+    ``local_format`` selects the halo schedule's local compute
+    (``"ell"``/``"hybrid"``/``"auto"`` — see :func:`dist_spmm_halo`)."""
     if schedule == "ring":
         return dist_spmm_ring(A, x_sharded, reduce)
     elif schedule == "allgather":
         return dist_spmm_allgather(A, x_sharded, reduce)
     elif schedule == "halo":
-        return dist_spmm_halo(A, x_sharded, reduce)
+        return dist_spmm_halo(A, x_sharded, reduce, local_format)
     raise ValueError(f"Unknown schedule: {schedule!r}")

@@ -319,3 +319,68 @@ def test_dist_spmm_grads(mesh):
     )(x)
     got_gx = Ash.unshard_dense(g_x)
     assert np.allclose(got_gx, expected_gx, atol=1e-3)
+
+
+def test_halo_hybrid_local_format(mesh):
+    """Hybrid local format (interior dense blocks on the MXU,
+    SPMD-uniform padded slot lists): forward parity for sum/mean vs the
+    single-device oracle, x-gradient parity through the _mxu_einsum
+    custom VJP, explicit error when 'hybrid' is requested where it
+    cannot apply, and 'auto' fallback for min/max."""
+    from pytorch_sparse_tpu.parallel.dist import dist_spmm_halo
+
+    rng = np.random.RandomState(42)
+    P, Mb, B = 8, 96, 32
+    M = P * Mb
+    rows, cols = [], []
+    for p in range(P):
+        rows.append(rng.randint(0, Mb, 1400) + p * Mb)
+        cols.append(rng.randint(0, Mb, 1400) + p * Mb)
+    rows.append(rng.randint(0, M, 400))
+    cols.append(rng.randint(0, M, 400))
+    row = np.concatenate(rows).astype(np.int32)
+    col = np.concatenate(cols).astype(np.int32)
+    A = SparseTensor(
+        row=jnp.asarray(row), col=jnp.asarray(col),
+        value=jnp.asarray(rng.randn(row.size).astype(np.float32)),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+    Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh, block_B=B)
+    assert Ash.has_interior_blocks()
+    x = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    xs = Ash.shard_dense(x)
+    for reduce in ("sum", "mean"):
+        expected = matmul(A, x, reduce)
+        res = jax.jit(dist_spmm, static_argnums=(2, 3, 4))(
+            Ash, xs, "halo", reduce, "hybrid"
+        )
+        got = Ash.unshard_dense(res)
+        assert np.allclose(np.asarray(got), np.asarray(expected),
+                           atol=1e-3), reduce
+    # x-gradient parity vs the single-device path
+    g = jax.jit(jax.grad(
+        lambda xx: (dist_spmm(Ash, xx, "halo", "sum", "hybrid") ** 2)
+        .sum()
+    ))(xs)
+    g_ref = jax.grad(lambda xx: (matmul(A, xx, "sum") ** 2).sum())(x)
+    assert np.allclose(np.asarray(Ash.unshard_dense(g)),
+                       np.asarray(g_ref), atol=1e-2)
+    # the default stays on the fully-differentiable ELL tables
+    res_ell = dist_spmm(Ash, xs, "halo", "sum")
+    assert np.allclose(np.asarray(Ash.unshard_dense(res_ell)),
+                       np.asarray(matmul(A, x, "sum")), atol=1e-3)
+    # explicit 'hybrid' on min/max is an error; 'auto' falls back
+    with pytest.raises(ValueError):
+        dist_spmm_halo(Ash, xs, "min", local_format="hybrid")
+    out, arg = dist_spmm(Ash, xs, "halo", "min", "auto")
+    expected_min = matmul(A, x, "min")
+    assert np.allclose(np.asarray(Ash.unshard_dense(out)),
+                       np.asarray(expected_min), atol=1e-4)
+
+
+def test_interior_blocks_skip_sparse_interiors(mesh):
+    """The auto-builder refuses interiors below the measured
+    break-even (uniform graphs keep ELL-only tables)."""
+    A = _random_adj(1024, 3000, seed=5)
+    Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh, block_B=32)
+    assert not Ash.has_interior_blocks()
