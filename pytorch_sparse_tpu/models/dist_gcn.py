@@ -54,7 +54,8 @@ class DistGCN:
         n = len(params["layers"])
         for i, layer in enumerate(params["layers"]):
             x = x @ layer["w"]                       # shard-local (P,Nb,D)
-            agg = (dist_spmm_hier(adj, x) if hier
+            agg = (dist_spmm_hier(adj, x, local_format=local_format)
+                   if hier
                    else dist_spmm(adj, x, schedule,
                                   local_format=local_format))
             x = agg + layer["b"]

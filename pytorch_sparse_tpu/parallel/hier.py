@@ -88,7 +88,10 @@ class HierShardedSparseMatrix:
                  fi_itabs, fi_vtabs, fi_etabs, fi_inv, serve_ici,
                  fx_itabs, fx_vtabs, fx_etabs, fx_inv, serve_dcn,
                  Hi: int, Hx: int, rowcount=None, nnz: int = 0,
-                 wire_stats=None):
+                 wire_stats=None,
+                 int_blocks=None, int_srow=None, int_scol=None,
+                 rest_itabs=(), rest_vtabs=(), rest_inv=None,
+                 block_B: int = 512):
         self.mesh = mesh
         self.M, self.N = M, N
         self.Mb, self.Nb = Mb, Nb
@@ -114,11 +117,23 @@ class HierShardedSparseMatrix:
         # static ints: real (unpadded) halo row counts for fabric
         # accounting — not pytree leaves.
         self.wire_stats = wire_stats or {}
+        # Hybrid local format (interior dense blocks; parallel/dist.py)
+        self.int_blocks = int_blocks
+        self.int_srow = int_srow
+        self.int_scol = int_scol
+        self.rest_itabs = tuple(rest_itabs)
+        self.rest_vtabs = tuple(rest_vtabs)
+        self.rest_inv = rest_inv
+        self.block_B = block_B
+
+    def has_interior_blocks(self) -> bool:
+        return self.int_blocks is not None
 
     # ------------------------------------------------------------------
     @classmethod
     def from_sparse_tensor(
-        cls, A: SparseTensor, mesh: Mesh
+        cls, A: SparseTensor, mesh: Mesh,
+        interior_blocks: str = "auto", block_B: int = 512,
     ) -> "HierShardedSparseMatrix":
         """Partition ``A``'s rows into ``S*C`` contiguous blocks; slice
         ``s`` owns blocks ``[s*C, (s+1)*C)``.  METIS-permute first
@@ -219,6 +234,18 @@ class HierShardedSparseMatrix:
         int_itabs, int_vtabs, int_etabs, int_inv, _ = _build_group_ell(
             int_groups, Mb, sentinel=Nb, E_total=E
         )
+        int_blocks = int_srow = int_scol = rest_inv = None
+        rest_itabs = rest_vtabs = ()
+        if interior_blocks != "never":
+            from .dist import _build_interior_blocks
+
+            hyb = _build_interior_blocks(int_groups, Mb, Nb, block_B)
+            if hyb is not None:
+                int_blocks, int_srow, int_scol, rest_groups = hyb
+                rest_itabs, rest_vtabs, _unused, rest_inv, _ = (
+                    _build_group_ell(rest_groups, Mb, sentinel=Nb,
+                                     E_total=E)
+                )
         fi_itabs, fi_vtabs, fi_etabs, fi_inv, _ = _build_group_ell(
             fi_groups, Mb, sentinel=C * Hi, E_total=E
         )
@@ -263,6 +290,13 @@ class HierShardedSparseMatrix:
             put(jnp.asarray(serve_dcn)),
             Hi, Hx, rowcount=put(jnp.asarray(rowcount)), nnz=E,
             wire_stats=wire_stats,
+            int_blocks=None if int_blocks is None else put(int_blocks),
+            int_srow=None if int_srow is None else put(int_srow),
+            int_scol=None if int_scol is None else put(int_scol),
+            rest_itabs=[put(t) for t in rest_itabs],
+            rest_vtabs=[put(t) for t in rest_vtabs],
+            rest_inv=None if rest_inv is None else put(rest_inv),
+            block_B=block_B,
         )
 
     # ------------------------------------------------------------------
@@ -305,20 +339,25 @@ def _hier_flatten(s: HierShardedSparseMatrix):
         s.fi_itabs, s.fi_vtabs, s.fi_etabs, s.fi_inv, s.serve_ici,
         s.fx_itabs, s.fx_vtabs, s.fx_etabs, s.fx_inv, s.serve_dcn,
         s.rowcount,
+        s.int_blocks, s.int_srow, s.int_scol,
+        s.rest_itabs, s.rest_vtabs, s.rest_inv,
     )
     aux = (s.mesh, s.M, s.N, s.Mb, s.Nb, s.S, s.C, s.Hi, s.Hx, s.nnz,
-           tuple(sorted(s.wire_stats.items())))
+           tuple(sorted(s.wire_stats.items())), s.block_B)
     return children, aux
 
 
 def _hier_unflatten(aux, ch) -> HierShardedSparseMatrix:
-    mesh, M, N, Mb, Nb, S, C, Hi, Hx, nnz, ws = aux
+    mesh, M, N, Mb, Nb, S, C, Hi, Hx, nnz, ws, block_B = aux
     return HierShardedSparseMatrix(
         mesh, M, N, Mb, Nb, S, C,
         ch[0], ch[1], ch[2], ch[3],
         ch[4], ch[5], ch[6], ch[7], ch[8],
         ch[9], ch[10], ch[11], ch[12], ch[13],
         Hi, Hx, rowcount=ch[14], nnz=nnz, wire_stats=dict(ws),
+        int_blocks=ch[15], int_srow=ch[16], int_scol=ch[17],
+        rest_itabs=ch[18], rest_vtabs=ch[19], rest_inv=ch[20],
+        block_B=block_B,
     )
 
 
@@ -378,16 +417,102 @@ def _hier_local(is_min,
     return out[None], arg[None]
 
 
+def _hier_local_hyb(Mb, B,
+                    blocks, srow, scol,
+                    rest_itabs, rest_vtabs, rest_inv,
+                    fi_itabs, fi_vtabs, fi_inv, serve_ici,
+                    fx_itabs, fx_vtabs, fx_inv, serve_dcn,
+                    x_local):
+    """Hierarchical schedule with the hybrid local format: the interior
+    dense blocks run one batched MXU pass (parallel/dist.py design),
+    remainder + both frontier tiers stay on the group-ELL tables."""
+    from ..ops.kernels.hybrid import _block_pass, _prec
+
+    x = x_local[0]                                    # (Nb, K)
+    K = x.shape[1]
+    served_dcn = jnp.take(x, serve_dcn[0], axis=0)
+    halo_dcn = lax.all_to_all(
+        served_dcn, dcn_axis, split_axis=0, concat_axis=0, tiled=True
+    )
+    union = lax.all_gather(halo_dcn, data_axis, tiled=True)
+    served_ici = jnp.take(x, serve_ici[0], axis=0)
+    halo_ici = lax.all_to_all(
+        served_ici, data_axis, split_axis=0, concat_axis=0, tiled=True
+    )
+    one = lambda ts: [t[0] for t in ts]  # noqa: E731
+    Nb = x.shape[0]
+    Rb, Cb = -(-Mb // B), -(-Nb // B)
+    pad = Cb * B - Nb
+    xb = jnp.concatenate([x, jnp.zeros((pad, K), x.dtype)]) if pad else x
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    outb = _block_pass(
+        blocks[0], srow[0], scol[0], xb.reshape(Cb, B, K),
+        Rb, B, K, acc, _prec(None),
+    )
+    out = outb.reshape(Rb * B, K)[:Mb].astype(x.dtype)
+    if rest_itabs:
+        out = out + _group_ell_apply(
+            one(rest_itabs), one(rest_vtabs), rest_inv[0], x
+        )
+    out = out + _group_ell_apply(
+        one(fi_itabs), one(fi_vtabs), fi_inv[0], halo_ici.reshape(-1, K)
+    )
+    out = out + _group_ell_apply(
+        one(fx_itabs), one(fx_vtabs), fx_inv[0], union.reshape(-1, K)
+    )
+    return out[None]
+
+
 def dist_spmm_hier(
     A: HierShardedSparseMatrix, x_sharded: jnp.ndarray,
-    reduce: str = "sum",
+    reduce: str = "sum", local_format: str = "ell",
 ):
     """Hierarchy-aware SpMM: interior compute + intra-slice halos over
     ICI + slice-deduplicated cross-slice unions over DCN.  Same 4-mode
-    reduce contract (and argout semantics) as ``dist_spmm``."""
+    reduce contract (and argout semantics) as ``dist_spmm``;
+    ``local_format`` as in :func:`..dist.dist_spmm_halo` (``"hybrid"``
+    puts the interior dense blocks on the MXU for sum/mean)."""
     is_min = _is_min_of(reduce)
     spec3 = P((dcn_axis, data_axis), None, None)
     xspec = A._xspec
+    use_hyb = (
+        local_format in ("hybrid", "auto")
+        and A.has_interior_blocks() and is_min is None
+    )
+    if local_format == "hybrid" and not use_hyb:
+        raise ValueError(
+            "local_format='hybrid' needs interior blocks and reduce in "
+            "sum/mean; use 'auto' to fall back silently"
+        )
+    if use_hyb:
+        spec2 = P((dcn_axis, data_axis), None)
+        fn = jax.shard_map(
+            partial(_hier_local_hyb, A.Mb, A.block_B),
+            mesh=A.mesh,
+            in_specs=(
+                P((dcn_axis, data_axis), None, None, None),
+                spec2, spec2,
+                tuple(spec3 for _ in A.rest_itabs),
+                tuple(spec3 for _ in A.rest_vtabs),
+                spec2,
+                tuple(spec3 for _ in A.fi_itabs),
+                tuple(spec3 for _ in A.fi_vtabs),
+                spec2,
+                spec3,
+                tuple(spec3 for _ in A.fx_itabs),
+                tuple(spec3 for _ in A.fx_vtabs),
+                spec2,
+                spec3,
+                xspec,
+            ),
+            out_specs=xspec,
+        )
+        res = fn(A.int_blocks, A.int_srow, A.int_scol,
+                 A.rest_itabs, A.rest_vtabs, A.rest_inv,
+                 A.fi_itabs, A.fi_vtabs, A.fi_inv, A.serve_ici,
+                 A.fx_itabs, A.fx_vtabs, A.fx_inv, A.serve_dcn,
+                 x_sharded)
+        return _postprocess(A, res, None, reduce, x_sharded.dtype)
     fn = jax.shard_map(
         partial(_hier_local, is_min),
         mesh=A.mesh,

@@ -206,3 +206,43 @@ def test_distgcn_trains_on_hier_mesh(mesh):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_hier_hybrid_local_format(mesh):
+    """Hybrid local format on the hierarchical schedule: interior
+    dense blocks match the single-device oracle for sum/mean; 'auto'
+    falls back for min."""
+    from pytorch_sparse_tpu import matmul
+
+    rng = np.random.RandomState(17)
+    P, Mb, B = 8, 96, 32
+    M = P * Mb
+    rows, cols = [], []
+    for p in range(P):
+        rows.append(rng.randint(0, Mb, 1400) + p * Mb)
+        cols.append(rng.randint(0, Mb, 1400) + p * Mb)
+    rows.append(rng.randint(0, M, 400))
+    cols.append(rng.randint(0, M, 400))
+    row = np.concatenate(rows).astype(np.int32)
+    col = np.concatenate(cols).astype(np.int32)
+    A = SparseTensor(
+        row=jnp.asarray(row), col=jnp.asarray(col),
+        value=jnp.asarray(rng.randn(row.size).astype(np.float32)),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+    Ah = HierShardedSparseMatrix.from_sparse_tensor(A, mesh, block_B=B)
+    assert Ah.has_interior_blocks()
+    x = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    xs = Ah.shard_dense(x)
+    for reduce in ("sum", "mean"):
+        want = np.asarray(matmul(A, x, reduce))
+        got = np.asarray(Ah.unshard_dense(
+            jax.jit(dist_spmm_hier, static_argnums=(2, 3))(
+                Ah, xs, reduce, "hybrid"
+            )
+        ))
+        assert np.allclose(got, want, atol=1e-3), reduce
+    out, arg = dist_spmm_hier(Ah, xs, "min", "auto")
+    want_min = np.asarray(matmul(A, x, "min"))
+    assert np.allclose(np.asarray(Ah.unshard_dense(out)), want_min,
+                       atol=1e-4)
