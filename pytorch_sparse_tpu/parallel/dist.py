@@ -249,6 +249,70 @@ def _build_interior_blocks(int_groups, Mb: int, Nb: int, B: int):
             rest_groups)
 
 
+_FR_DENSE_SHARD_CAP = 2 << 30   # bytes of frontier store per shard
+
+
+def _build_frontier_dense(fr_groups, Mb: int, H: int, Pn: int,
+                          mode: str = "auto"):
+    """Dense store of the frontier bipartite matrix, or ``None``.
+
+    After the interior moved onto the MXU (round 4), the frontier SpMM —
+    group-ELL gathers over the received halo buffer — dominates the
+    projected halo step (BASELINE.md dense_shard_scaling: 0.93 of
+    1.16 ms).  The halo buffer is already COMPACT (only the distinct
+    referenced remote rows), so the frontier is a (Mb, P*H) bipartite
+    matrix whose density on community graphs sits well above the dense
+    break-even: one read-bound MXU matmul per shard replaces the whole
+    gather pass.  Values are baked (sum/mean only, like the interior
+    blocks); the ELL frontier tables remain authoritative for min/max
+    and value differentiation.
+
+    The decision reuses the single-chip router's measured rates: dense
+    cost = ``passes * Mb * P*H * elem / HBM_BW`` (read-bound; passes
+    priced by the store dtype exactly as ``block_break_even``), ELL cost
+    = the SLOWEST shard's frontier edges at the measured per-edge gather
+    rate (the step time is a max over shards, and the store cost is
+    shard-uniform).  ``mode``: "auto" (decide), "never", "always"
+    (tests/benchmarks).  Store dtype follows the measured quantization
+    rule (``quantization_rel_err`` vs ``set_store_budget``).
+    """
+    from ..ops.kernels.hybrid import (
+        _ELL_NS_PER_NNZ, _HBM_BW, get_store_budget, quantization_rel_err,
+    )
+
+    if mode == "never":
+        return None
+    G = len(fr_groups)
+    PH = Pn * H
+    counts = [g[0].size for g in fr_groups]
+    worst = max(counts, default=0)
+    if worst == 0 or Mb * PH == 0:
+        return None
+    vals = np.concatenate([g[2] for g in fr_groups])
+    store_bf16 = quantization_rel_err(vals) <= get_store_budget()
+    elem = 2 if store_bf16 else 4
+    passes = 1.0 if store_bf16 else 3.0
+    if Mb * PH * elem > _FR_DENSE_SHARD_CAP:
+        return None
+    if mode != "always":
+        t_dense = passes * Mb * PH * elem / _HBM_BW
+        t_ell = worst * _ELL_NS_PER_NNZ * 1e-9
+        if t_dense >= t_ell:
+            return None
+    dense = np.zeros((G, Mb, PH), np.float32)
+    for g, (r, b, v, _e) in enumerate(fr_groups):
+        if r.size:
+            np.add.at(
+                dense, (g, r.astype(np.int64), b.astype(np.int64)),
+                v.astype(np.float32),
+            )
+    if store_bf16:
+        import ml_dtypes
+
+        dense = dense.astype(ml_dtypes.bfloat16)
+    return jnp.asarray(dense)
+
+
 def _group_ell_apply(itabs, vtabs, inv, x):
     """out[r] = sum_j vtab[r, j] * x_ext[itab[r, j]] for one group.
 
@@ -377,7 +441,7 @@ class ShardedSparseMatrix:
                  rowcount=None, nnz: int = 0,
                  int_blocks=None, int_srow=None, int_scol=None,
                  rest_itabs=(), rest_vtabs=(), rest_inv=None,
-                 block_B: int = 512):
+                 block_B: int = 512, fr_dense=None):
         self.mesh = mesh
         self.M, self.N = M, N
         self.Mb, self.Nb = Mb, Nb
@@ -421,14 +485,21 @@ class ShardedSparseMatrix:
         self.rest_vtabs = tuple(rest_vtabs)
         self.rest_inv = rest_inv
         self.block_B = block_B
+        # Dense frontier store (G, Mb, P*H), values baked; None when the
+        # frontier stays on the group-ELL tables.
+        self.fr_dense = fr_dense
 
     def has_interior_blocks(self) -> bool:
         return self.int_blocks is not None
+
+    def has_frontier_dense(self) -> bool:
+        return self.fr_dense is not None
 
     @classmethod
     def from_sparse_tensor(
         cls, A: SparseTensor, mesh: Mesh,
         interior_blocks: str = "auto", block_B: int = 512,
+        frontier_dense: str = "auto",
     ) -> "ShardedSparseMatrix":
         """Partition ``A``'s rows into contiguous blocks of ``ceil(M/P)``.
 
@@ -532,6 +603,7 @@ class ShardedSparseMatrix:
         # remainder (``local_format="hybrid"`` in dist_spmm_halo).
         int_blocks = int_srow = int_scol = rest_inv = None
         rest_itabs = rest_vtabs = ()
+        fr_dense = None
         if interior_blocks != "never":
             hyb = _build_interior_blocks(int_groups, Mb, Nb, block_B)
             if hyb is not None:
@@ -539,6 +611,11 @@ class ShardedSparseMatrix:
                 rest_itabs, rest_vtabs, _unused, rest_inv, _ = (
                     _build_group_ell(rest_groups, Mb, sentinel=Nb,
                                      E_total=E)
+                )
+                # The dense frontier only pays once the interior is off
+                # the gather path — build it alongside the blocks.
+                fr_dense = _build_frontier_dense(
+                    fr_groups, Mb, H, Pn, mode=frontier_dense
                 )
 
         def put(x):
@@ -569,6 +646,7 @@ class ShardedSparseMatrix:
             rest_vtabs=[put(t) for t in rest_vtabs],
             rest_inv=None if rest_inv is None else put(rest_inv),
             block_B=block_B,
+            fr_dense=None if fr_dense is None else put(fr_dense),
         )
 
     # ------------------------------------------------------------------
@@ -613,7 +691,7 @@ def _shmat_flatten(s: ShardedSparseMatrix):
         s.serve_idx,
         s.ring_etabs, s.flat_etabs, s.int_etabs, s.fr_etabs, s.rowcount,
         s.int_blocks, s.int_srow, s.int_scol,
-        s.rest_itabs, s.rest_vtabs, s.rest_inv,
+        s.rest_itabs, s.rest_vtabs, s.rest_inv, s.fr_dense,
     )
     return children, (s.mesh, s.M, s.N, s.Mb, s.Nb, s.halo_width, s.nnz,
                       s.block_B)
@@ -625,7 +703,7 @@ def _shmat_unflatten(aux, children) -> ShardedSparseMatrix:
      int_itabs, int_vtabs, int_inv, fr_itabs, fr_vtabs, fr_inv,
      serve_idx, ring_etabs, flat_etabs, int_etabs, fr_etabs,
      rowcount, int_blocks, int_srow, int_scol, rest_itabs, rest_vtabs,
-     rest_inv) = children
+     rest_inv, fr_dense) = children
     return ShardedSparseMatrix(
         mesh, M, N, Mb, Nb, ring_itabs, ring_vtabs, ring_inv,
         flat_itabs, flat_vtabs, flat_inv, int_itabs, int_vtabs, int_inv,
@@ -634,7 +712,7 @@ def _shmat_unflatten(aux, children) -> ShardedSparseMatrix:
         fr_etabs=fr_etabs, rowcount=rowcount, nnz=nnz,
         int_blocks=int_blocks, int_srow=int_srow, int_scol=int_scol,
         rest_itabs=rest_itabs, rest_vtabs=rest_vtabs, rest_inv=rest_inv,
-        block_B=block_B,
+        block_B=block_B, fr_dense=fr_dense,
     )
 
 
@@ -769,16 +847,20 @@ def _halo_local(is_min, vary, int_itabs, int_vtabs, int_etabs, int_inv,
     return out[None], arg[None]
 
 
-def _halo_local_hyb(vary, Mb, B, blocks, srow, scol,
+def _halo_local_hyb(vary, Mb, B, use_frd, blocks, srow, scol,
                     rest_itabs, rest_vtabs, rest_inv,
-                    fr_itabs, fr_vtabs, fr_inv, serve_idx, x_local):
+                    fr_itabs, fr_vtabs, fr_inv, fr_dense,
+                    serve_idx, x_local):
     """Halo schedule with the hybrid local format: the interior's dense
     blocks run as one batched MXU pass (hybrid._block_pass — k-concat
     for bf16 stores, manual bf16-split for f32 at HIGH), the sparse
-    remainder and the frontier stay on the group-ELL tables.  Values
-    are baked in the blocks; gradients flow to x (through the
-    _mxu_einsum custom VJP), not to the interior value tables."""
-    from ..ops.kernels.hybrid import _block_pass, _prec
+    remainder stays on the group-ELL tables, and the frontier runs
+    either as group-ELL gathers over the halo buffer or (``use_frd``)
+    as one read-bound MXU matmul of the dense frontier store against
+    the whole received buffer.  Values are baked in both dense stores;
+    gradients flow to x (through the _mxu_einsum custom VJP), not to
+    the interior/frontier value tables."""
+    from ..ops.kernels.hybrid import _block_pass, _mxu_einsum, _prec
 
     x = x_local[0]                                  # (Nb, K)
     K = x.shape[1]
@@ -801,10 +883,16 @@ def _halo_local_hyb(vary, Mb, B, blocks, srow, scol,
         out = out + _group_ell_apply(
             one(rest_itabs), one(rest_vtabs), _pv(rest_inv[0], vary), x
         )
-    out = out + _group_ell_apply(
-        one(fr_itabs), one(fr_vtabs), _pv(fr_inv[0], vary),
-        halo.reshape(-1, K),
-    )
+    if use_frd:
+        frd = _pv(fr_dense, vary)                   # (1, Mb, P*H)
+        hb = halo.reshape(1, -1, K)
+        fr_out = _mxu_einsum("sbc,sck->sbk", acc, _prec(None), frd, hb)
+        out = out + fr_out[0].astype(x.dtype)
+    else:
+        out = out + _group_ell_apply(
+            one(fr_itabs), one(fr_vtabs), _pv(fr_inv[0], vary),
+            halo.reshape(-1, K),
+        )
     return out[None]
 
 
@@ -846,7 +934,11 @@ def dist_spmm_halo(
     ``local_format``: ``"ell"`` (default — the group-ELL tables, full
     value differentiation), ``"hybrid"`` (interior dense blocks on the
     MXU; sum/mean only, values baked so interior value tables get no
-    gradient), or ``"auto"`` (hybrid when built and applicable)."""
+    gradient), or ``"auto"`` (hybrid when built and applicable).  When
+    the matrix carries a dense frontier store
+    (``from_sparse_tensor(frontier_dense=...)``), the hybrid path also
+    runs the frontier as one MXU matmul over the received halo buffer
+    instead of group-ELL gathers."""
     is_min = _is_min_of(reduce)
     spec3 = P(data_axis, None, None)
     xspec = A._xspec
@@ -864,8 +956,9 @@ def dist_spmm_halo(
         )
     if use_hyb:
         spec2 = P(data_axis, None)
+        use_frd = A.has_frontier_dense()
         fn = jax.shard_map(
-            partial(_halo_local_hyb, vary, A.Mb, A.block_B),
+            partial(_halo_local_hyb, vary, A.Mb, A.block_B, use_frd),
             mesh=A.mesh,
             in_specs=(
                 P(data_axis, None, None, None),
@@ -877,13 +970,14 @@ def dist_spmm_halo(
                 tuple(spec3 for _ in A.fr_vtabs),
                 P(data_axis, None),
                 spec3,
+                spec3,
                 xspec,
             ),
             out_specs=xspec,
         )
         res = fn(A.int_blocks, A.int_srow, A.int_scol,
                  A.rest_itabs, A.rest_vtabs, A.rest_inv,
-                 A.fr_itabs, A.fr_vtabs, A.fr_inv,
+                 A.fr_itabs, A.fr_vtabs, A.fr_inv, A.fr_dense,
                  A.serve_idx, x_sharded)
         return _postprocess(A, res, None, reduce, x_sharded.dtype)
     fn = jax.shard_map(

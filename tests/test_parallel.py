@@ -378,6 +378,84 @@ def test_halo_hybrid_local_format(mesh):
                        np.asarray(expected_min), atol=1e-4)
 
 
+def test_halo_frontier_dense_route(mesh):
+    """Dense frontier store (the round-4 lever after the interior moved
+    onto the MXU): forward parity for sum/mean and x-gradient parity vs
+    the single-device oracle, with the frontier forced dense; the
+    'never' build matches bit-for-bit-level tolerance through the ELL
+    frontier; the auto rule declines a tiny frontier (its dense read
+    costs more than a handful of gathers)."""
+    from pytorch_sparse_tpu.parallel.dist import dist_spmm_halo
+
+    rng = np.random.RandomState(7)
+    P, Mb, B = 8, 96, 32
+    M = P * Mb
+    rows, cols = [], []
+    for p in range(P):
+        rows.append(rng.randint(0, Mb, 1400) + p * Mb)
+        cols.append(rng.randint(0, Mb, 1400) + p * Mb)
+    rows.append(rng.randint(0, M, 2000))
+    cols.append(rng.randint(0, M, 2000))
+    row = np.concatenate(rows).astype(np.int32)
+    col = np.concatenate(cols).astype(np.int32)
+    A = SparseTensor(
+        row=jnp.asarray(row), col=jnp.asarray(col),
+        value=jnp.asarray(rng.randn(row.size).astype(np.float32)),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+    Ash = ShardedSparseMatrix.from_sparse_tensor(
+        A, mesh, block_B=B, frontier_dense="always"
+    )
+    assert Ash.has_interior_blocks() and Ash.has_frontier_dense()
+    x = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    xs = Ash.shard_dense(x)
+    for reduce in ("sum", "mean"):
+        expected = matmul(A, x, reduce)
+        res = jax.jit(dist_spmm_halo, static_argnums=(2, 3))(
+            Ash, xs, reduce, "hybrid"
+        )
+        assert np.allclose(np.asarray(Ash.unshard_dense(res)),
+                           np.asarray(expected), atol=1e-3), reduce
+    # x-gradient parity through the frontier matmul's custom VJP (the
+    # cotangent rides the all_to_all transpose back to the serving shard)
+    g = jax.jit(jax.grad(
+        lambda xx: (dist_spmm_halo(Ash, xx, "sum", "hybrid") ** 2).sum()
+    ))(xs)
+    g_ref = jax.grad(lambda xx: (matmul(A, xx, "sum") ** 2).sum())(x)
+    assert np.allclose(np.asarray(Ash.unshard_dense(g)),
+                       np.asarray(g_ref), atol=1e-2)
+    # min/max fall back off the hybrid path entirely ('auto')
+    out, arg = dist_spmm(Ash, xs, "halo", "max", "auto")
+    assert np.allclose(np.asarray(Ash.unshard_dense(out)),
+                       np.asarray(matmul(A, x, "max")), atol=1e-4)
+    # 'never' keeps the ELL frontier
+    Ash_ell = ShardedSparseMatrix.from_sparse_tensor(
+        A, mesh, block_B=B, frontier_dense="never"
+    )
+    assert not Ash_ell.has_frontier_dense()
+    res = dist_spmm_halo(Ash_ell, xs, "sum", "hybrid")
+    assert np.allclose(np.asarray(Ash_ell.unshard_dense(res)),
+                       np.asarray(matmul(A, x, "sum")), atol=1e-3)
+    # auto declines a near-empty frontier: dense read >> a few gathers
+    rows2 = np.concatenate(
+        [rng.randint(0, Mb, 1400) + p * Mb for p in range(P)]
+        + [np.array([0, 1])]
+    ).astype(np.int32)
+    cols2 = np.concatenate(
+        [rng.randint(0, Mb, 1400) + p * Mb for p in range(P)]
+        + [np.array([Mb, 2 * Mb])]
+    ).astype(np.int32)
+    A2 = SparseTensor(
+        row=jnp.asarray(rows2), col=jnp.asarray(cols2),
+        value=jnp.asarray(rng.randn(rows2.size).astype(np.float32)),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+    Ash2 = ShardedSparseMatrix.from_sparse_tensor(
+        A2, mesh, block_B=B, frontier_dense="auto"
+    )
+    assert not Ash2.has_frontier_dense()
+
+
 def test_interior_blocks_skip_sparse_interiors(mesh):
     """The auto-builder refuses interiors below the measured
     break-even (uniform graphs keep ELL-only tables)."""
