@@ -163,16 +163,73 @@ def chip():
     r_hyb = E_i / dt_hyb
     print(f"shard interior routed ({type(h).__name__}): "
           f"{dt_hyb * 1e3:.2f} ms = {r_hyb / 1e9:.2f} Gnnz/s")
-    # frontier stays on the gather path at the arxiv-scale ELL rate
-    r_fr = 344e6
+    # (c) the frontier, measured both ways on the worst shard's real
+    # structures: group-ELL gathers over the halo buffer vs the dense
+    # frontier store (round-4 route: one read-bound MXU matmul of the
+    # (Mb, P*H) baked bipartite matrix against the received buffer).
+    from pytorch_sparse_tpu.parallel.dist import (
+        _build_group_ell, _group_ell_apply,
+    )
+    from pytorch_sparse_tpu.ops.kernels.hybrid import _mxu_einsum, _prec
+
+    val = np.asarray(A.storage.value())
+    p_worst = int(np.argmax(np.bincount(owner[frontier], minlength=P)))
+    selp = (owner == p_worst) & frontier
+    rf = (row[selp] - p_worst * Mb).astype(np.int64)
+    cf, vf = col[selp], val[selp]
+    qf = cf // Mb
+    buf = np.zeros(rf.shape[0], np.int64)
+    for q in range(P):
+        sq = qf == q
+        if q == p_worst or not sq.any():
+            continue
+        u = np.unique(cf[sq])
+        buf[sq] = q * H + np.searchsorted(u, cf[sq])
+    PH = P * H
+    halo = jnp.asarray(
+        np.random.RandomState(3).randn(PH, K).astype(np.float32)
+    )
+    fr_itabs, fr_vtabs, _e, fr_inv, _c = _build_group_ell(
+        [(rf, buf, vf.astype(np.float32), np.zeros_like(rf))],
+        Mb, sentinel=PH,
+    )
+    dt_fr_ell = device_time(
+        lambda hb, it, vt, iv: _group_ell_apply(
+            [t[0] for t in it], [t[0] for t in vt], iv[0], hb
+        ),
+        halo, fr_itabs, fr_vtabs, fr_inv, n_lo=2, n_hi=6,
+    )
+    print(f"frontier worst shard ({rf.size} edges, buffer {PH} rows): "
+          f"group-ELL {dt_fr_ell * 1e3:.2f} ms")
+    import ml_dtypes
+
+    frd_np = np.zeros((1, Mb, PH), np.float32)
+    np.add.at(frd_np, (0, rf, buf), vf.astype(np.float32))
+    t_frd = {}
+    for sdt, lbl in ((np.float32, "f32"), (ml_dtypes.bfloat16, "bf16")):
+        frd = jnp.asarray(frd_np.astype(sdt))
+        dt = device_time(
+            lambda hb, fd: _mxu_einsum(
+                "sbc,sck->sbk", jnp.float32, _prec(None), fd, hb[None]
+            )[0],
+            halo, frd, n_lo=8, n_hi=136,
+        )
+        t_frd[lbl] = dt
+        print(f"frontier dense store [{lbl}] ({Mb}x{PH}, "
+              f"{frd_np.nbytes * (1 if lbl == 'f32' else 0.5) / 1e6:.0f}"
+              f" MB): {dt * 1e3:.2f} ms")
     t_wire = wire / (P - 1) / ICI_LINK_BW
     print(f"wire/chip/step {wire / 1e6:.1f} MB  (per-peer leg "
           f"{t_wire * 1e3:.3f} ms on ICI)")
-    for name, r_int in (("ell", r_ell), ("hybrid", r_hyb)):
-        t_int = e_int / r_int
-        t_fr = e_fr / r_fr
+    routes = (
+        ("ell", e_int / r_ell, dt_fr_ell),
+        ("hybrid", e_int / r_hyb, dt_fr_ell),
+        ("hyb+frd32", e_int / r_hyb, t_frd["f32"]),
+        ("hyb+frd16", e_int / r_hyb, t_frd["bf16"]),
+    )
+    for name, t_int, t_fr in routes:
         step = max(t_int, wire / ICI_LINK_BW) + t_fr
-        print(f"projected v5e halo step (local={name:6s}): "
+        print(f"projected v5e halo step (local={name:9s}): "
               f"{step * 1e3:.2f} ms  (interior {t_int * 1e3:.2f}, "
               f"wire {wire / ICI_LINK_BW * 1e3:.2f}, "
               f"frontier {t_fr * 1e3:.2f})")

@@ -91,7 +91,7 @@ class HierShardedSparseMatrix:
                  wire_stats=None,
                  int_blocks=None, int_srow=None, int_scol=None,
                  rest_itabs=(), rest_vtabs=(), rest_inv=None,
-                 block_B: int = 512):
+                 block_B: int = 512, fi_dense=None, fx_dense=None):
         self.mesh = mesh
         self.M, self.N = M, N
         self.Mb, self.Nb = Mb, Nb
@@ -125,6 +125,11 @@ class HierShardedSparseMatrix:
         self.rest_vtabs = tuple(rest_vtabs)
         self.rest_inv = rest_inv
         self.block_B = block_B
+        # Dense frontier stores per tier (values baked): intra-slice
+        # (G, Mb, C*Hi) against the ICI halo buffer, cross-slice
+        # (G, Mb, C*S*Hx) against the DCN union buffer.
+        self.fi_dense = fi_dense
+        self.fx_dense = fx_dense
 
     def has_interior_blocks(self) -> bool:
         return self.int_blocks is not None
@@ -134,6 +139,7 @@ class HierShardedSparseMatrix:
     def from_sparse_tensor(
         cls, A: SparseTensor, mesh: Mesh,
         interior_blocks: str = "auto", block_B: int = 512,
+        frontier_dense: str = "auto",
     ) -> "HierShardedSparseMatrix":
         """Partition ``A``'s rows into ``S*C`` contiguous blocks; slice
         ``s`` owns blocks ``[s*C, (s+1)*C)``.  METIS-permute first
@@ -236,8 +242,9 @@ class HierShardedSparseMatrix:
         )
         int_blocks = int_srow = int_scol = rest_inv = None
         rest_itabs = rest_vtabs = ()
+        fi_dense = fx_dense = None
         if interior_blocks != "never":
-            from .dist import _build_interior_blocks
+            from .dist import _build_frontier_dense, _build_interior_blocks
 
             hyb = _build_interior_blocks(int_groups, Mb, Nb, block_B)
             if hyb is not None:
@@ -245,6 +252,15 @@ class HierShardedSparseMatrix:
                 rest_itabs, rest_vtabs, _unused, rest_inv, _ = (
                     _build_group_ell(rest_groups, Mb, sentinel=Nb,
                                      E_total=E)
+                )
+                # Dense frontier stores, decided per tier with the same
+                # measured rule (buffer lengths: C*Hi intra, C*S*Hx
+                # cross — _build_frontier_dense only uses the product).
+                fi_dense = _build_frontier_dense(
+                    fi_groups, Mb, Hi, C, mode=frontier_dense
+                )
+                fx_dense = _build_frontier_dense(
+                    fx_groups, Mb, Hx, C * S, mode=frontier_dense
                 )
         fi_itabs, fi_vtabs, fi_etabs, fi_inv, _ = _build_group_ell(
             fi_groups, Mb, sentinel=C * Hi, E_total=E
@@ -297,6 +313,8 @@ class HierShardedSparseMatrix:
             rest_vtabs=[put(t) for t in rest_vtabs],
             rest_inv=None if rest_inv is None else put(rest_inv),
             block_B=block_B,
+            fi_dense=None if fi_dense is None else put(fi_dense),
+            fx_dense=None if fx_dense is None else put(fx_dense),
         )
 
     # ------------------------------------------------------------------
@@ -341,6 +359,7 @@ def _hier_flatten(s: HierShardedSparseMatrix):
         s.rowcount,
         s.int_blocks, s.int_srow, s.int_scol,
         s.rest_itabs, s.rest_vtabs, s.rest_inv,
+        s.fi_dense, s.fx_dense,
     )
     aux = (s.mesh, s.M, s.N, s.Mb, s.Nb, s.S, s.C, s.Hi, s.Hx, s.nnz,
            tuple(sorted(s.wire_stats.items())), s.block_B)
@@ -357,7 +376,7 @@ def _hier_unflatten(aux, ch) -> HierShardedSparseMatrix:
         Hi, Hx, rowcount=ch[14], nnz=nnz, wire_stats=dict(ws),
         int_blocks=ch[15], int_srow=ch[16], int_scol=ch[17],
         rest_itabs=ch[18], rest_vtabs=ch[19], rest_inv=ch[20],
-        block_B=block_B,
+        block_B=block_B, fi_dense=ch[21], fx_dense=ch[22],
     )
 
 
@@ -417,16 +436,20 @@ def _hier_local(is_min,
     return out[None], arg[None]
 
 
-def _hier_local_hyb(Mb, B,
+def _hier_local_hyb(Mb, B, use_fid, use_fxd,
                     blocks, srow, scol,
                     rest_itabs, rest_vtabs, rest_inv,
                     fi_itabs, fi_vtabs, fi_inv, serve_ici,
                     fx_itabs, fx_vtabs, fx_inv, serve_dcn,
+                    fi_dense, fx_dense,
                     x_local):
     """Hierarchical schedule with the hybrid local format: the interior
     dense blocks run one batched MXU pass (parallel/dist.py design),
-    remainder + both frontier tiers stay on the group-ELL tables."""
-    from ..ops.kernels.hybrid import _block_pass, _prec
+    the remainder stays on the group-ELL tables, and each frontier tier
+    independently runs either group-ELL gathers or (``use_fid`` /
+    ``use_fxd``) one MXU matmul of its baked dense store against the
+    received buffer."""
+    from ..ops.kernels.hybrid import _block_pass, _mxu_einsum, _prec
 
     x = x_local[0]                                    # (Nb, K)
     K = x.shape[1]
@@ -454,12 +477,23 @@ def _hier_local_hyb(Mb, B,
         out = out + _group_ell_apply(
             one(rest_itabs), one(rest_vtabs), rest_inv[0], x
         )
-    out = out + _group_ell_apply(
-        one(fi_itabs), one(fi_vtabs), fi_inv[0], halo_ici.reshape(-1, K)
-    )
-    out = out + _group_ell_apply(
-        one(fx_itabs), one(fx_vtabs), fx_inv[0], union.reshape(-1, K)
-    )
+    if use_fid:
+        fi_out = _mxu_einsum("sbc,sck->sbk", acc, _prec(None),
+                             fi_dense, halo_ici.reshape(1, -1, K))
+        out = out + fi_out[0].astype(x.dtype)
+    else:
+        out = out + _group_ell_apply(
+            one(fi_itabs), one(fi_vtabs), fi_inv[0],
+            halo_ici.reshape(-1, K)
+        )
+    if use_fxd:
+        fx_out = _mxu_einsum("sbc,sck->sbk", acc, _prec(None),
+                             fx_dense, union.reshape(1, -1, K))
+        out = out + fx_out[0].astype(x.dtype)
+    else:
+        out = out + _group_ell_apply(
+            one(fx_itabs), one(fx_vtabs), fx_inv[0], union.reshape(-1, K)
+        )
     return out[None]
 
 
@@ -486,8 +520,10 @@ def dist_spmm_hier(
         )
     if use_hyb:
         spec2 = P((dcn_axis, data_axis), None)
+        use_fid = A.fi_dense is not None
+        use_fxd = A.fx_dense is not None
         fn = jax.shard_map(
-            partial(_hier_local_hyb, A.Mb, A.block_B),
+            partial(_hier_local_hyb, A.Mb, A.block_B, use_fid, use_fxd),
             mesh=A.mesh,
             in_specs=(
                 P((dcn_axis, data_axis), None, None, None),
@@ -503,6 +539,8 @@ def dist_spmm_hier(
                 tuple(spec3 for _ in A.fx_vtabs),
                 spec2,
                 spec3,
+                spec3,
+                spec3,
                 xspec,
             ),
             out_specs=xspec,
@@ -511,6 +549,7 @@ def dist_spmm_hier(
                  A.rest_itabs, A.rest_vtabs, A.rest_inv,
                  A.fi_itabs, A.fi_vtabs, A.fi_inv, A.serve_ici,
                  A.fx_itabs, A.fx_vtabs, A.fx_inv, A.serve_dcn,
+                 A.fi_dense, A.fx_dense,
                  x_sharded)
         return _postprocess(A, res, None, reduce, x_sharded.dtype)
     fn = jax.shard_map(

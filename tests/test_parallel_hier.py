@@ -246,3 +246,54 @@ def test_hier_hybrid_local_format(mesh):
     want_min = np.asarray(matmul(A, x, "min"))
     assert np.allclose(np.asarray(Ah.unshard_dense(out)), want_min,
                        atol=1e-4)
+
+
+def test_hier_frontier_dense_route(mesh):
+    """Dense frontier stores on BOTH tiers (intra-slice ICI buffer and
+    the cross-slice DCN union buffer): forward + x-grad parity vs the
+    single-device oracle with the frontiers forced dense."""
+    from pytorch_sparse_tpu import matmul
+
+    rng = np.random.RandomState(23)
+    P, Mb, B = 8, 96, 32
+    M = P * Mb
+    rows, cols = [], []
+    for p in range(P):
+        rows.append(rng.randint(0, Mb, 1400) + p * Mb)
+        cols.append(rng.randint(0, Mb, 1400) + p * Mb)
+    rows.append(rng.randint(0, M, 2400))
+    cols.append(rng.randint(0, M, 2400))
+    A = SparseTensor(
+        row=jnp.asarray(np.concatenate(rows).astype(np.int32)),
+        col=jnp.asarray(np.concatenate(cols).astype(np.int32)),
+        value=jnp.asarray(
+            rng.randn(sum(r.size for r in rows)).astype(np.float32)
+        ),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+    Ah = HierShardedSparseMatrix.from_sparse_tensor(
+        A, mesh, block_B=B, frontier_dense="always"
+    )
+    assert Ah.has_interior_blocks()
+    assert Ah.fi_dense is not None and Ah.fx_dense is not None
+    x = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+    xs = Ah.shard_dense(x)
+    for reduce in ("sum", "mean"):
+        want = np.asarray(matmul(A, x, reduce))
+        got = np.asarray(Ah.unshard_dense(
+            jax.jit(dist_spmm_hier, static_argnums=(2, 3))(
+                Ah, xs, reduce, "hybrid"
+            )
+        ))
+        assert np.allclose(got, want, atol=1e-3), reduce
+    g = jax.jit(jax.grad(
+        lambda xx: (dist_spmm_hier(Ah, xx, "sum", "hybrid") ** 2).sum()
+    ))(xs)
+    g_ref = jax.grad(lambda xx: (matmul(A, xx, "sum") ** 2).sum())(x)
+    assert np.allclose(np.asarray(Ah.unshard_dense(g)),
+                       np.asarray(g_ref), atol=1e-2)
+    # 'never' keeps both tiers on the ELL tables
+    Ah2 = HierShardedSparseMatrix.from_sparse_tensor(
+        A, mesh, block_B=B, frontier_dense="never"
+    )
+    assert Ah2.fi_dense is None and Ah2.fx_dense is None
