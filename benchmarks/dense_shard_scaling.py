@@ -193,10 +193,13 @@ def chip():
         [(rf, buf, vf.astype(np.float32), np.zeros_like(rf))],
         Mb, sentinel=PH,
     )
+    # device_time chains through a fori_loop: the carry (halo) must keep
+    # its shape, so fold the (Mb, K) output to (1, K) and broadcast-add
+    # (~12 MB of extra traffic per step, 2-3% of the measured quantity).
     dt_fr_ell = device_time(
-        lambda hb, it, vt, iv: _group_ell_apply(
+        lambda hb, it, vt, iv: hb + _group_ell_apply(
             [t[0] for t in it], [t[0] for t in vt], iv[0], hb
-        ),
+        ).sum(0, keepdims=True),
         halo, fr_itabs, fr_vtabs, fr_inv, n_lo=2, n_hi=6,
     )
     print(f"frontier worst shard ({rf.size} edges, buffer {PH} rows): "
@@ -209,9 +212,9 @@ def chip():
     for sdt, lbl in ((np.float32, "f32"), (ml_dtypes.bfloat16, "bf16")):
         frd = jnp.asarray(frd_np.astype(sdt))
         dt = device_time(
-            lambda hb, fd: _mxu_einsum(
+            lambda hb, fd: hb + _mxu_einsum(
                 "sbc,sck->sbk", jnp.float32, _prec(None), fd, hb[None]
-            )[0],
+            )[0].sum(0, keepdims=True),
             halo, frd, n_lo=8, n_hi=136,
         )
         t_frd[lbl] = dt

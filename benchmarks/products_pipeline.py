@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--parts", type=int, default=8)
     ap.add_argument("--feat", type=int, default=100)
+    ap.add_argument("--fine", type=int, default=0,
+                    help="reorder with a FINE K-way partition (0=off, "
+                         "-1=auto M//512) before grouping into --parts "
+                         "ClusterGCN blocks; communities become "
+                         "contiguous so the router can densify "
+                         "(probe_products_reorder.py: 0%% -> ~50%% of "
+                         "edges in dense blocks)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -92,11 +99,25 @@ def main():
     report["construct_coalesce_s"] = round(time.time() - t0, 2)
     report["nodes"], report["nnz"] = M, E
 
-    # 2. 8-way partition
+    # 2. 8-way partition (or --fine: K-way reorder grouped into
+    # args.parts contiguous ClusterGCN buckets — same coarse blocks,
+    # community-contiguous interiors)
     t0 = time.time()
-    padj, partptr, perm = A.partition(args.parts)
+    if args.fine:
+        Kf = args.fine if args.fine > 0 else max(M // 512, args.parts)
+        padj, fineptr, perm = A.partition(Kf)
+        fp = np.asarray(fineptr)
+        bounds = [0]
+        for g in range(1, args.parts):
+            j = int(np.searchsorted(fp, M * g / args.parts))
+            bounds.append(int(fp[min(j, fp.size - 1)]))
+        bounds.append(M)
+        pp = np.asarray(bounds, np.int64)
+        report["fine_parts"] = int(Kf)
+    else:
+        padj, partptr, perm = A.partition(args.parts)
+        pp = np.asarray(partptr)
     _log("at partition_s"); report["partition_s"] = round(time.time() - t0, 1)
-    pp = np.asarray(partptr)
     sizes = np.diff(pp)
     report["part_sizes"] = sizes.tolist()
     report["part_balance"] = round(float(sizes.max() / (M / args.parts)), 3)
@@ -111,9 +132,15 @@ def main():
     K = args.feat
     rng = np.random.RandomState(1)
     block_times = []
+    routed = []
     for p in range(args.parts):
         lo, hi = int(pp[p]), int(pp[p + 1])
         blk = padj.narrow(0, lo, hi - lo).narrow(1, lo, hi - lo)
+        # Auto format selection: the router densifies community blocks
+        # that clear the measured break-even (needs the --fine reorder
+        # to see any on this synthetic) and falls back to ELL.
+        h = blk.storage.hybrid()
+        routed.append(type(h).__name__ if h is not None else "ell")
         blk.storage.ell()
         blk.storage.ell_t()
         X = jnp.asarray(rng.randn(hi - lo, K).astype(np.float32))
@@ -122,7 +149,8 @@ def main():
         # (CLAUDE.md closure-vs-argument note).
         dt = device_time(lambda m, b: ts.spmm_sum(b, m), X, blk)
         block_times.append(dt)
-        _log(f"part {p}: {dt*1e3:.2f} ms")
+        _log(f"part {p}: {dt*1e3:.2f} ms ({routed[-1]})")
+    report["per_part_routed"] = routed
     report["per_part_spmm_ms"] = [round(t * 1e3, 2) for t in block_times]
     intra_nnz = E - cut
     report["per_part_spmm_total_ms"] = round(sum(block_times) * 1e3, 2)
