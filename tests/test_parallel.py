@@ -456,6 +456,44 @@ def test_halo_frontier_dense_route(mesh):
     assert not Ash2.has_frontier_dense()
 
 
+def test_halo_frontier_dense_2d_mesh():
+    """Frontier dense route on a 2-D (data, feat) mesh: the store is
+    feat-replicated (promoted via _pv) while the halo buffer is
+    feat-sharded — forward + grad parity vs the single-device path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.RandomState(5)
+    P, Mb, B = 4, 96, 32
+    M = P * Mb
+    rows = [rng.randint(0, Mb, 1400) + p * Mb for p in range(P)]
+    cols = [rng.randint(0, Mb, 1400) + p * Mb for p in range(P)]
+    rows.append(rng.randint(0, M, 1500))
+    cols.append(rng.randint(0, M, 1500))
+    A = SparseTensor(
+        row=jnp.asarray(np.concatenate(rows).astype(np.int32)),
+        col=jnp.asarray(np.concatenate(cols).astype(np.int32)),
+        value=jnp.asarray(
+            rng.randn(sum(r.size for r in rows)).astype(np.float32)
+        ),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+    mesh2 = make_mesh2d(P, 2)
+    Ash = ShardedSparseMatrix.from_sparse_tensor(
+        A, mesh2, block_B=B, frontier_dense="always"
+    )
+    assert Ash.has_frontier_dense()
+    x = jnp.asarray(rng.randn(M, 16).astype(np.float32))
+    xs = Ash.shard_dense(x)
+    got = Ash.unshard_dense(jax.jit(dist_spmm, static_argnums=(2, 3, 4))(
+        Ash, xs, "halo", "sum", "hybrid"
+    ))
+    want = matmul(A, x, "sum")
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+    g = jax.grad(lambda s: (dist_spmm(
+        Ash, s, "halo", "sum", "hybrid") ** 2).sum())(xs)
+    assert bool(jnp.isfinite(g).all())
+
+
 def test_interior_blocks_skip_sparse_interiors(mesh):
     """The auto-builder refuses interiors below the measured
     break-even (uniform graphs keep ELL-only tables)."""
