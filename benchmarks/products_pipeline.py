@@ -104,38 +104,15 @@ def main():
     # community-contiguous interiors)
     t0 = time.time()
     if args.fine:
-        from pytorch_sparse_tpu.partition.metis import partition_fn
-
+        # Two-level reorder (ts.partition_fine): fine clusters become
+        # contiguous (so the hybrid router can densify) and a quotient-
+        # graph partition groups them into args.parts ClusterGCN
+        # buckets at the direct partition's coarse cut (a naive
+        # contiguous grouping measured 0.41 vs 0.21 at 0.25 scale).
         Kf = args.fine if args.fine > 0 else max(M // 512, args.parts)
-        padj, fineptr, perm = A.partition(Kf)
-        fp = np.asarray(fineptr)
-        # Group the Kf fine parts into args.parts ClusterGCN buckets by
-        # partitioning the QUOTIENT graph (fine parts as nodes, crossing
-        # edge counts as weights, node weight = part size) — a tiny
-        # problem that restores the coarse cut a naive contiguous
-        # grouping doubles (measured 0.41 vs 0.21 at 0.25 scale).
-        prow = np.asarray(padj.storage.numpy_view("row"))
-        pcol = np.asarray(padj.storage.numpy_view("col"))
-        fpart = np.searchsorted(fp, np.arange(M), side="right") - 1
-        pr, pc = fpart[prow], fpart[pcol]
-        offd = pr != pc
-        key = pr[offd] * Kf + pc[offd]
-        uk, cnt = np.unique(key, return_counts=True)
-        qrow, qcol = uk // Kf, uk % Kf
-        qrowptr = np.searchsorted(qrow, np.arange(Kf + 1)).astype(np.int64)
-        cluster = partition_fn(
-            qrowptr, qcol.astype(np.int64), args.parts,
-            node_weight=np.diff(fp).astype(np.float64),
-            edge_weight=cnt.astype(np.int64),
-        )
-        forder = np.argsort(cluster, kind="stable")
-        node_order = np.concatenate(
-            [np.arange(fp[f], fp[f + 1]) for f in forder]
-        )
-        padj = padj.permute(jnp.asarray(node_order))
-        gsizes = np.zeros(args.parts, np.int64)
-        np.add.at(gsizes, cluster, np.diff(fp))
-        pp = np.concatenate([[0], np.cumsum(gsizes)])
+        padj, partptr, perm = ts.partition_fine(A, args.parts,
+                                                fine_parts=Kf)
+        pp = np.asarray(partptr)
         report["fine_parts"] = int(Kf)
     else:
         padj, partptr, perm = A.partition(args.parts)

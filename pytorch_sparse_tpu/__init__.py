@@ -36,7 +36,9 @@ from .sample import (  # noqa
     relabel, relabel_one_hop, neighbor_sample, hetero_neighbor_sample,
     hetero_temporal_neighbor_sample, hgt_sample,
 )
-from .partition import mt_partition, partition, weight2metis  # noqa
+from .partition import (  # noqa
+    mt_partition, partition, partition_fine, weight2metis,
+)
 
 __all__ = [
     "SparseStorage",
@@ -114,6 +116,7 @@ __all__ = [
     "hetero_temporal_neighbor_sample",
     "hgt_sample",
     "partition",
+    "partition_fine",
     "mt_partition",
     "weight2metis",
     "__version__",

@@ -1,1 +1,3 @@
-from .metis import mt_partition, partition, partition_fn, weight2metis  # noqa
+from .metis import (  # noqa
+    mt_partition, partition, partition_fine, partition_fn, weight2metis,
+)

@@ -230,6 +230,64 @@ def partition(
             jnp.asarray(perm_np.astype(np_index)))
 
 
+def partition_fine(
+    src: SparseTensor,
+    num_parts: int,
+    fine_parts: int = 0,
+    num_workers: int = 0,
+) -> Tuple[SparseTensor, jnp.ndarray, jnp.ndarray]:
+    """Two-level partition: a FINE ``fine_parts``-way reorder grouped
+    into ``num_parts`` coarse buckets via a quotient-graph partition.
+
+    Same ``(permuted, partptr, perm)`` contract as :func:`partition`
+    (reference ``metis.py:24-75``), but the node order inside each
+    coarse part concatenates whole fine clusters — so communities far
+    smaller than a coarse part become CONTIGUOUS, which is what the
+    hybrid router's (B, B) densify pass needs.  On the products-scale
+    community synthetic the fine reorder lifts the dense-block edge
+    coverage from 0-7% to ~50% (oracle 66-76%) at the same partition
+    cost per level (benchmarks/probe_products_reorder.py), and the
+    quotient grouping — ``num_parts``-way partition of the fine-cluster
+    adjacency, edge weights = crossing edge counts, node weights =
+    cluster sizes — keeps the coarse edge cut at the direct partition's
+    level (a naive contiguous grouping doubles it).
+
+    ``fine_parts`` defaults to one cluster per 512-row block
+    (``max(M // 512, num_parts)``)."""
+    M = src.sparse_size(0)
+    Kf = fine_parts if fine_parts > 0 else max(M // 512, num_parts)
+    if Kf <= num_parts:
+        return partition(src, num_parts, num_workers=num_workers)
+    padj, fineptr, perm = partition(src, Kf, num_workers=num_workers)
+    fp = np.asarray(fineptr)
+    prow = np.asarray(padj.storage.numpy_view("row"))
+    pcol = np.asarray(padj.storage.numpy_view("col"))
+    fpart = np.searchsorted(fp, np.arange(M), side="right") - 1
+    pr, pc = fpart[prow], fpart[pcol]
+    offd = pr != pc
+    key = pr[offd] * Kf + pc[offd]
+    uk, cnt = np.unique(key, return_counts=True)
+    qrow, qcol = uk // Kf, uk % Kf
+    qrowptr = np.searchsorted(qrow, np.arange(Kf + 1)).astype(np.int64)
+    cluster = partition_fn(
+        qrowptr, qcol.astype(np.int64), num_parts,
+        node_weight=np.diff(fp).astype(np.float64),
+        edge_weight=cnt.astype(np.int64), num_workers=num_workers,
+    )
+    forder = stable_argsort(cluster)
+    node_order = np.concatenate(
+        [np.arange(fp[f], fp[f + 1]) for f in forder]
+    ).astype(np.dtype(INDEX_DTYPE))
+    out = permute(padj, node_order)
+    gsizes = np.zeros(num_parts, np.int64)
+    np.add.at(gsizes, cluster, np.diff(fp))
+    partptr_np = np.concatenate(
+        [[0], np.cumsum(gsizes)]
+    ).astype(np.dtype(INDEX_DTYPE))
+    perm_np = np.asarray(perm)[node_order].astype(np.dtype(INDEX_DTYPE))
+    return out, jnp.asarray(partptr_np), jnp.asarray(perm_np)
+
+
 def mt_partition(
     src: SparseTensor,
     num_parts: int,
@@ -257,4 +315,8 @@ SparseTensor.mt_partition = (
     lambda self, num_parts, recursive=False, weighted=False,
     node_weight=None, num_workers=8: mt_partition(
         self, num_parts, recursive, weighted, node_weight, num_workers)
+)
+SparseTensor.partition_fine = (
+    lambda self, num_parts, fine_parts=0, num_workers=0: partition_fine(
+        self, num_parts, fine_parts, num_workers)
 )

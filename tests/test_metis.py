@@ -199,3 +199,66 @@ def test_mt_partition_threaded_stress():
         assert cluster.min() >= 0 and cluster.max() < B
         sizes = np.bincount(cluster, minlength=B)
         assert sizes.min() > 0.5 * NB, sizes
+
+
+def test_partition_fine_contract_and_contiguity():
+    """Two-level partition (ts.partition_fine): same (padj, partptr,
+    perm) contract as partition(), communities far smaller than a
+    coarse part become contiguous (dense-block coverage rises vs the
+    direct coarse partition), and the quotient grouping keeps the
+    coarse cut near the direct partition's."""
+    import jax.numpy as jnp
+
+    import pytorch_sparse_tpu as ts
+    from pytorch_sparse_tpu.ops.kernels.hybrid import dense_fraction
+
+    rng = np.random.RandomState(3)
+    M, n_comm = 4096, 64
+    comm = rng.randint(0, n_comm, M).astype(np.int64)  # scattered ids
+    # dense intra-community edges + sparse background
+    src = rng.randint(0, M, 120_000)
+    intra = rng.rand(src.size) < 0.85
+    by_comm = [np.flatnonzero(comm == c) for c in range(n_comm)]
+    dst = rng.randint(0, M, src.size)
+    for c in range(n_comm):
+        sel = intra & (comm[src] == c)
+        dst[sel] = by_comm[c][rng.randint(0, by_comm[c].size, int(sel.sum()))]
+    A = ts.SparseTensor(
+        row=jnp.asarray(src.astype(np.int64)),
+        col=jnp.asarray(dst.astype(np.int64)),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+
+    def cut_frac(padj, pp):
+        r = np.asarray(padj.storage.numpy_view("row"))
+        c = np.asarray(padj.storage.numpy_view("col"))
+        part = np.searchsorted(pp, np.arange(M), side="right") - 1
+        return float((part[r] != part[c]).sum()) / r.size
+
+    pad4, pp4, perm4 = ts.partition(A, 4)
+    padf, ppf, permf = ts.partition_fine(A, 4, fine_parts=n_comm)
+    ppf_np = np.asarray(ppf)
+    # contract: partptr covers [0, M], perm is a permutation
+    assert ppf_np[0] == 0 and ppf_np[-1] == M
+    assert (np.diff(ppf_np) > 0).all()
+    permf_np = np.asarray(permf)
+    assert np.array_equal(np.sort(permf_np), np.arange(M))
+    # the permuted adjacency IS the relabel of the original
+    inv = np.empty(M, np.int64)
+    inv[permf_np] = np.arange(M)
+    want_r, want_c = inv[src], inv[dst]
+    got_r = np.asarray(padf.storage.numpy_view("row"))
+    got_c = np.asarray(padf.storage.numpy_view("col"))
+    a = np.sort(got_r.astype(np.int64) * M + got_c)
+    b = np.unique(want_r.astype(np.int64) * M + want_c)
+    assert np.array_equal(a, b)
+    # contiguity: dense-block edge coverage rises vs direct coarse
+    B = 64
+    frac4, _ = dense_fraction(
+        np.asarray(pad4.storage.numpy_view("row")),
+        np.asarray(pad4.storage.numpy_view("col")), M, M, B=B,
+        min_density=0.02)
+    fracf, _ = dense_fraction(got_r, got_c, M, M, B=B, min_density=0.02)
+    assert fracf > frac4 + 0.1, (fracf, frac4)
+    # quotient grouping keeps the coarse cut within 1.5x of direct
+    assert cut_frac(padf, ppf_np) < 1.5 * cut_frac(pad4, np.asarray(pp4)) + 0.05
