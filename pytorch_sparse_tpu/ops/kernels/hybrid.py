@@ -195,7 +195,14 @@ def block_break_even(B: int, K_hint: int = 128, elem: int = 4,
         passes * (B * B * elem + 3 * B * K_hint * 4) / _HBM_BW
         + 2.0 * B * B * K_hint / _MXU_BF16
     )
-    edges = t_block / (_ELL_NS_PER_NNZ * 1e-9)
+    # Per-edge gather cost scales WEAKLY with K (the gather is issue-
+    # bound, not byte-bound): measured 4.73 ns at K=128 vs 7.10 ns at
+    # K=256 on the full-Reddit remainder table (BASELINE round 4, 2x
+    # bytes at 1.3-1.5x time).  Linear interp anchored at the K=128
+    # measurement; K=128 reproduces _ELL_NS_PER_NNZ exactly, so all
+    # previously calibrated routes are unchanged.
+    ell_ns = _ELL_NS_PER_NNZ * (0.7 + 0.3 * K_hint / 128.0)
+    edges = t_block / (ell_ns * 1e-9)
     return min(edges / (B * B), 1.0)
 
 

@@ -370,7 +370,11 @@ def _hybrid_view(src: SparseTensor, other):
         return None  # batched operands stay on the ELL path
     if not jnp.issubdtype(other.dtype, jnp.floating):
         return None
-    return src.storage.hybrid()
+    # Break-even priced at this call's feature width (VERDICT r4 item
+    # 7): K=16 operands densify at a lower block-density threshold than
+    # K=128 ones (the X temporaries + MXU flops scale with K while the
+    # per-edge gather cost barely moves).
+    return src.storage.hybrid(K_hint=int(other.shape[-1]))
 
 
 def _ell_views(src: SparseTensor):

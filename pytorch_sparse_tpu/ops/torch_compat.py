@@ -313,3 +313,18 @@ SparseStorage.type_as = _st_type_as
 SparseStorage.device_as = _st_device_as
 SparseStorage.pin_memory = lambda self: self
 SparseStorage.is_pinned = lambda self: False
+
+
+def _st_share_memory_(self) -> "SparseStorage":
+    """Storage-level sharing shim (reference ``storage.py:742-767``
+    walks every cached array and moves it to POSIX shared memory for
+    DataLoader worker processes).  XLA device buffers have no shared-
+    host-memory mode and host-side numpy views are already zero-copy
+    within a process, so this is a documented no-op returning ``self``
+    — mirroring the SparseTensor-level shim above, now present at BOTH
+    layers like the reference."""
+    return self
+
+
+SparseStorage.share_memory_ = _st_share_memory_
+SparseStorage.is_shared = lambda self: False

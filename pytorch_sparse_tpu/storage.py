@@ -815,17 +815,27 @@ class SparseStorage:
         """Install a pre-built :class:`HybridFormat` (e.g. one built
         block-aligned with a ``partptr`` after ``partition()``)."""
         self._hybrid = h
-        self._hybrid_skip = False
+        self._hybrid_skip = None
         return self
 
-    def hybrid(self, auto: bool = True):
+    def hybrid(self, auto: bool = True, K_hint: Optional[int] = None):
         """Cached hybrid view; ``auto`` builds it eagerly when the
         density stats say the MXU path wins.  Returns None under
         tracing (unless already filled — it rides the pytree) and on
-        graphs where the format would not pay."""
+        graphs where the format would not pay.
+
+        ``K_hint`` is the caller's feature width (``other.shape[-1]`` of
+        the first SpMM): the densify break-even prices the block cost
+        (X temporaries + MXU flops scale with K) against the per-edge
+        gather cost, so a K=16 workload densifies at ~0.7x the K=128
+        density threshold.  The view is priced at the FIRST call's K and
+        cached; a prior skip is re-evaluated when a narrower K arrives
+        (narrower K only lowers the threshold)."""
+        K = int(K_hint) if K_hint else 128
         if self._hybrid is not None:
             return self._hybrid
-        if not auto or getattr(self, "_hybrid_skip", False):
+        skip_K = getattr(self, "_hybrid_skip", None)
+        if not auto or (skip_K is not None and K >= skip_K):
             return None
         if _tracing():
             return None  # eager-only build; decide on a later call
@@ -835,13 +845,13 @@ class SparseStorage:
                 return None  # traced values can't be baked into blocks
             if not jnp.issubdtype(value.dtype, jnp.floating):
                 # int/bool values follow the exact ELL path
-                self._hybrid_skip = True
+                self._hybrid_skip = 0  # skip at every K
                 return None
         M, N = self._sparse_sizes
         B = self._HYBRID_B
         if (self._col.shape[0] < self._HYBRID_MIN_EDGES
                 or min(M, N) < 4 * B):
-            self._hybrid_skip = True
+            self._hybrid_skip = 0
             return None
         row = self.numpy_view("row")
         col = self.numpy_view("col")
@@ -869,7 +879,8 @@ class SparseStorage:
         # Break-even priced for the actual store dtype: f32 blocks at
         # the default HIGH precision cost ~3x their raw read (bf16x3
         # split copies + 3 passes), bf16 blocks run one k-concat pass.
-        be = block_break_even(B, elem=s_elem,
+        # K-aware (VERDICT r4 item 7): priced at the caller's K.
+        be = block_break_even(B, K_hint=K, elem=s_elem,
                               passes=1.0 if store_bf16 else 3.0)
         # Whole-matrix dense route: overall density past the block
         # break-even means EVERY block region pays to densify — skip the
@@ -885,7 +896,7 @@ class SparseStorage:
             return self._hybrid
         frac, nb = dense_fraction(row, col, M, N, B=B, min_density=be)
         if frac < self._HYBRID_MIN_FRACTION:
-            self._hybrid_skip = True
+            self._hybrid_skip = K  # re-evaluate only for narrower K
             return None
         # Block store: bf16 within the declared budget, and as the
         # fallback when the f32 store would blow the HBM cap (halves
@@ -897,7 +908,7 @@ class SparseStorage:
                     and (nb + 1) * B * B * 2 <= self._HYBRID_MAX_BLOCK_BYTES):
                 block_dtype = jnp.bfloat16
             else:
-                self._hybrid_skip = True
+                self._hybrid_skip = 0
                 return None
         self._hybrid = build_hybrid(row, col, val, M, N, B=B,
                                     min_density=be,
@@ -1115,7 +1126,7 @@ class SparseStorage:
         self._ell = None
         self._ell_t = None
         self._hybrid = None
-        self._hybrid_skip = False
+        self._hybrid_skip = None
         self._ell_baked = None
         self._ell_t_baked = None
         return self
