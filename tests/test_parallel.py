@@ -500,3 +500,38 @@ def test_interior_blocks_skip_sparse_interiors(mesh):
     A = _random_adj(1024, 3000, seed=5)
     Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh, block_B=32)
     assert not Ash.has_interior_blocks()
+
+
+@pytest.mark.parametrize("schedule", ["allgather", "ring", "halo"])
+@pytest.mark.parametrize("reduce", ["sum", "mean", "min", "max"])
+def test_dist_spmm_public_value_grads(mesh, schedule, reduce):
+    """VERDICT r4 item 5: edge-space value gradients are a PUBLIC
+    contract — ``jax.grad`` w.r.t. a (nnz,) value vector works
+    identically on single-chip ``matmul`` and every schedule, with no
+    hand mapping through the etabs."""
+    A = _random_adj(96, 640, seed=13)
+    E = A.nnz()
+    value = A.storage.value()
+    x = jnp.asarray(np.random.RandomState(5).randn(96, 6), jnp.float32)
+    Ash = ShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    xs = Ash.shard_dense(x)
+
+    def single(v):
+        out = matmul(
+            A.set_value(v, layout="coo"), x, reduce
+        )
+        return (out ** 2).sum()
+
+    def dist(v):
+        res = dist_spmm(Ash, xs, schedule, reduce, value=v)
+        out = res[0] if reduce in ("min", "max") else res
+        return (out ** 2).sum()
+
+    l_ref, g_ref = jax.value_and_grad(single)(value)
+    l_got, g_got = jax.jit(jax.value_and_grad(dist))(value)
+    assert g_got.shape == (E,)
+    assert np.allclose(float(l_got), float(l_ref), rtol=1e-4)
+    assert np.allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-3), (
+        f"{schedule}/{reduce}: edge-space value grad mismatch, max err "
+        f"{np.abs(np.asarray(g_got) - np.asarray(g_ref)).max():.2e}"
+    )
