@@ -84,6 +84,34 @@ def multilevel_partition(
     return cluster, int(cut)
 
 
+def coarsen_clusters(
+    rowptr: np.ndarray, col: np.ndarray, target_clusters: int,
+    seed: int = 1, edge_weight: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, int]:
+    """Fine clusters from the multilevel COARSENING hierarchy alone:
+    heavy-edge matching levels until ~``target_clusters`` coarse nodes
+    remain; returns (cluster ids per node, n_clusters).  One O(E) pass
+    per level — the cheap layout pass behind ``partition_fine`` at
+    large fine_parts, where the k-way partitioner's init+refinement
+    cost grows with k (native.cpp ``coarsen_clusters``)."""
+    n = rowptr.shape[0] - 1
+    cluster = np.empty(n, np.int64)
+    ew = (
+        np.ascontiguousarray(edge_weight, np.int64)
+        if edge_weight is not None else None
+    )
+    lib.coarsen_clusters.restype = ctypes.c_int64
+    nc = lib.coarsen_clusters(
+        _p(np.ascontiguousarray(rowptr, np.int64)),
+        _p(np.ascontiguousarray(col, np.int64)),
+        ctypes.c_int64(n),
+        _p(ew) if ew is not None else None,
+        ctypes.c_int64(int(target_clusters)),
+        ctypes.c_uint64(seed), _p(cluster),
+    )
+    return cluster, int(nc)
+
+
 def sample_adj(
     rowptr: np.ndarray, col: np.ndarray, idx: np.ndarray,
     num_neighbors: int, replace: bool, seed: int,

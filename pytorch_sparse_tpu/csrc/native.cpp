@@ -914,6 +914,123 @@ int64_t multilevel_partition_mt(const int64_t *rowptr_in,
 }
 
 // ---------------------------------------------------------------------
+// coarsen_clusters: fine-cluster extraction from the multilevel
+// COARSENING hierarchy alone (the cheap layout pass behind
+// partition_fine at large fine_parts).  Heavy-edge matching merges the
+// tightest-connected node pairs first, so the ancestors at a coarse
+// level are exactly the small communities the hybrid router's (B, B)
+// densify pass wants contiguous — without the k-way initial partition
+// + per-level refinement whose cost grows with k (measured 162-269 s
+// at products-0.25 scale for the 1195-way fine partition; this pass is
+// one O(E) matching + contraction per level).  Returns the number of
+// clusters (<= ~target; more if matching stalls).  Reference
+// precedent: torch_sparse/metis.py:24-75 uses the partition only as a
+// layout planner — the cut does not matter here, contiguity does.
+// ---------------------------------------------------------------------
+int64_t coarsen_clusters(const int64_t *rowptr_in, const int64_t *col_in,
+                         int64_t n_nodes, const int64_t *edge_w,
+                         int64_t target_clusters, uint64_t seed,
+                         int64_t *cluster_out) {
+  if (target_clusters < 1) target_clusters = 1;
+  Rng rng;
+  rng_seed(&rng, seed ? seed : 1);
+
+  const int64_t E0 = rowptr_in[n_nodes];
+  CoarseGraph g;
+  g.rowptr.assign(rowptr_in, rowptr_in + n_nodes + 1);
+  g.col.resize(E0);
+  for (int64_t e = 0; e < E0; e++) g.col[e] = (pidx)col_in[e];
+  if (edge_w) g.ew.assign(edge_w, edge_w + E0);  // matching honors adjwgt
+  g.nw.assign(n_nodes, 1.0);
+
+  // label[v] = current coarse ancestor of input node v
+  std::vector<pidx> label(n_nodes);
+  for (int64_t v = 0; v < n_nodes; v++) label[v] = (pidx)v;
+
+  std::vector<pidx> order, match;
+  while ((int64_t)g.nw.size() > target_clusters) {
+    const int64_t n = (int64_t)g.nw.size();
+    order.resize(n);
+    for (int64_t i = 0; i < n; i++) order[i] = (pidx)i;
+    for (int64_t i = n - 1; i > 0; i--)
+      std::swap(order[i], order[rng_below(&rng, i + 1)]);
+    heavy_edge_matching(g, order, match, /*par=*/false);
+    std::vector<pidx> cmap(n, -1);
+    std::vector<pidx> fine0, fine1;
+    fine0.reserve(n / 2 + 16);
+    fine1.reserve(n / 2 + 16);
+    pidx nc = 0;
+    for (int64_t v = 0; v < n; v++) {
+      if (cmap[v] >= 0) continue;
+      const pidx u = match[v];
+      cmap[v] = nc;
+      cmap[u] = nc;
+      fine0.push_back((pidx)v);
+      fine1.push_back(u == (pidx)v ? (pidx)-1 : u);
+      nc++;
+    }
+    if (nc >= n * 9 / 10) break;  // matching stalled
+    // Stop at the level closest to the target in log space: a level
+    // overshooting far past the target merges across community
+    // boundaries, while stopping early only leaves slightly smaller
+    // clusters.  prev-closer <=> n/target < target/nc.
+    if ((int64_t)nc < target_clusters &&
+        (double)n * (double)nc < (double)target_clusters *
+                                     (double)target_clusters) {
+      break;  // previous level was the better stop; discard this one
+    }
+    // contract (same mark/position build as the partitioner, unit
+    // edge weights are enough for matching)
+    CoarseGraph cg;
+    cg.nw.assign(nc, 0.0);
+    for (int64_t v = 0; v < n; v++) cg.nw[cmap[v]] += g.nw[v];
+    cg.rowptr.assign(nc + 1, 0);
+    cg.col.resize(g.col.size());
+    cg.ew.resize(g.col.size());
+    std::vector<pidx> mark(nc, -1);
+    std::vector<int64_t> pos(nc);
+    int64_t cur = 0;
+    for (pidx cv = 0; cv < nc; cv++) {
+      const pidx pair[2] = {fine0[cv], fine1[cv]};
+      for (const pidx f : pair) {
+        if (f < 0) continue;
+        for (int64_t e = g.rowptr[f]; e < g.rowptr[f + 1]; e++) {
+          const pidx cu = cmap[g.col[e]];
+          if (cu == cv) continue;
+          if (mark[cu] != cv) {
+            mark[cu] = cv;
+            pos[cu] = cur;
+            cg.col[cur] = cu;
+            cg.ew[cur] = g.ew_at(e);
+            cur++;
+          } else {
+            cg.ew[pos[cu]] += g.ew_at(e);
+          }
+        }
+      }
+      cg.rowptr[cv + 1] = cur;
+    }
+    cg.col.resize(cur);
+    cg.ew.resize(cur);
+    // randomized neighbor order inside each row (see the partitioner's
+    // note: discovery order biases the next matching level)
+    for (pidx cv = 0; cv < nc; cv++)
+      for (int64_t e = cg.rowptr[cv + 1] - 1; e > cg.rowptr[cv]; e--) {
+        const int64_t j =
+            cg.rowptr[cv] + rng_below(&rng, e - cg.rowptr[cv] + 1);
+        std::swap(cg.col[e], cg.col[j]);
+        std::swap(cg.ew[e], cg.ew[j]);
+      }
+    // fold this level into the running labels (no cmap stack kept:
+    // labels compose forward, memory stays O(n))
+    for (int64_t v = 0; v < n_nodes; v++) label[v] = cmap[label[v]];
+    g = std::move(cg);
+  }
+  for (int64_t v = 0; v < n_nodes; v++) cluster_out[v] = label[v];
+  return (int64_t)g.nw.size();
+}
+
+// ---------------------------------------------------------------------
 // hgt_sample: Heterogeneous Graph Transformer layer-wise importance
 // sampling (reference cpu/hgt_sample_cpu.cpp): per-type budgets of
 // inverse-degree scores with a neighbor cap of 50, weighted node

@@ -262,3 +262,57 @@ def test_partition_fine_contract_and_contiguity():
     assert fracf > frac4 + 0.1, (fracf, frac4)
     # quotient grouping keeps the coarse cut within 1.5x of direct
     assert cut_frac(padf, ppf_np) < 1.5 * cut_frac(pad4, np.asarray(pp4)) + 0.05
+
+
+def test_partition_fine_weighted_passthrough():
+    """Advisor r4: partition_fine forwards ``weighted``/``node_weight``
+    to the fine level (adjwgt parity with plain partition()) and
+    aggregates them at the quotient level (crossing-VALUE edge weights,
+    per-cluster node-weight sums).  Contract must hold in every
+    combination."""
+    import pytorch_sparse_tpu as ts
+
+    rng = np.random.RandomState(11)
+    M, n_comm = 512, 16
+    comm = rng.randint(0, n_comm, M)
+    src = rng.randint(0, M, 8000)
+    dst = rng.randint(0, M, 8000)
+    intra = rng.rand(8000) < 0.8
+    by_comm = [np.flatnonzero(comm == c) for c in range(n_comm)]
+    for c in range(n_comm):
+        sel = intra & (comm[src] == c)
+        if by_comm[c].size:
+            dst[sel] = by_comm[c][
+                rng.randint(0, by_comm[c].size, int(sel.sum()))]
+    val = rng.rand(8000).astype(np.float32) + 0.1
+    A = ts.SparseTensor(
+        row=jnp.asarray(src.astype(np.int64)),
+        col=jnp.asarray(dst.astype(np.int64)),
+        value=jnp.asarray(val), sparse_sizes=(M, M),
+    ).coalesce("add")
+    nw = jnp.asarray(rng.rand(M).astype(np.float32) + 0.5)
+
+    for weighted, node_w in [(True, None), (False, nw), (True, nw)]:
+        padj, pp, perm = ts.partition_fine(
+            A, 4, fine_parts=n_comm, weighted=weighted, node_weight=node_w
+        )
+        pp_np, perm_np = np.asarray(pp), np.asarray(perm)
+        assert pp_np[0] == 0 and pp_np[-1] == M
+        assert (np.diff(pp_np) >= 0).all()
+        assert np.array_equal(np.sort(perm_np), np.arange(M))
+        # permuted adjacency is the exact relabel of the original
+        inv = np.empty(M, np.int64)
+        inv[perm_np] = np.arange(M)
+        r = np.asarray(padj.storage.numpy_view("row"))
+        c = np.asarray(padj.storage.numpy_view("col"))
+        got = np.sort(r.astype(np.int64) * M + c)
+        Ar = np.asarray(A.storage.numpy_view("row"))
+        Ac = np.asarray(A.storage.numpy_view("col"))
+        want = np.sort(inv[Ar].astype(np.int64) * M + inv[Ac])
+        assert np.array_equal(got, want)
+        # node_weight balance: per-part weight sums within 30% of even
+        if node_w is not None:
+            part = np.searchsorted(pp_np, np.arange(M), side="right") - 1
+            w = np.asarray(nw)[perm_np]
+            psums = np.bincount(part, weights=w, minlength=4)
+            assert psums.max() <= 1.6 * psums.mean()
