@@ -64,6 +64,7 @@ def main():
     dt = device_time(lambda m, a: ts.spmm_max(a, m)[0], x, padj)
     report["ell_minmax_ms"] = round(dt * 1e3, 2)
     report["ell_ns_per_edge"] = round(dt / padj.nnz() * 1e9, 2)
+    print(json.dumps(report), flush=True)
 
     # --- block structure (host): occupied (B, B) blocks above a
     # min-占 density so the comparison mirrors the sum router's split
@@ -145,12 +146,21 @@ def main():
         return (out, argb) if with_arg else out
 
     for with_arg, key in ((False, "blk_max_ms"), (True, "blk_arg_ms")):
-        f = jax.jit(lambda xq, wa=with_arg: blk_max(xq, wa))
-        dt = device_time(f, xp)
+        init = jax.jit(
+            lambda xq, wa=with_arg: blk_max(xq, wa)
+        )(xp)
+
+        def timed(c, xq, wa=with_arg):
+            leaf = c[0] if wa else c  # consume carry (timing.py rule)
+            return blk_max(xq + leaf[0, 0, 0].astype(xq.dtype) * 1e-30,
+                           wa)
+
+        dt = device_time(timed, init, xp)
         report[key] = round(dt * 1e3, 2)
         report[key.replace("_ms", "_ns_per_slot")] = round(
             dt / (nb * B * B * 1.0) * 1e9 * 1.0, 3
         )
+        print(json.dumps(report), flush=True)
     rem_edges = int(padj.nnz() - in_dense.sum())
     implied = report.get("blk_arg_ms", 0) + rem_edges * report[
         "ell_ns_per_edge"] * 1e-6

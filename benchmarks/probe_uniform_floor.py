@@ -171,10 +171,22 @@ def main():
 
     got = np.asarray(pair_full(packed))
     err = np.abs(got - ref).max() / scale
-    dt = device_time(pair_full, packed)
+    out0 = jnp.zeros((M, K), jnp.float32)
+    # consume the carry inside the input so the loop body is not
+    # hoisted (timing.py contract); bitwise_or with runtime-0 keeps
+    # the packed bits intact.
+    dt = device_time(
+        lambda c, p: pair_full(
+            jnp.bitwise_or(p, (c[0, 0] * 1e-30).astype(jnp.int32))
+        ),
+        out0, packed,
+    )
     report("(b) paired-row bf16 store", dt, f"rel err {err:.1e}")
     # include the packing cost (one dense pass over x)
-    dtp = device_time(lambda m: pack2(m), mat)
+    dtp = device_time(
+        lambda c, m: pack2(m + c[:1, :1].astype(m.dtype) * 1e-30),
+        packed, mat,
+    )
     report("(b) pack cost alone", dtp, "(amortizes over layers)", work=0)
 
     # (c) K-split concurrent gathers (two (M, K/2) tables)
@@ -199,7 +211,10 @@ def main():
 
     got = np.asarray(ksplit_full(mL, mR))
     err = np.abs(got - ref).max() / scale
-    dt = device_time(ksplit_full, mL, mR)
+    dt = device_time(
+        lambda c, a, b: ksplit_full(a + c[:1, :K // 2] * 1e-30, b),
+        jnp.zeros((M, K), jnp.float32), mL, mR,
+    )
     report("(c) K-split 2x(M,64) gathers", dt, f"rel err {err:.1e}")
 
     print(f"\nshipped {t_ship*1e3:.3f} ms; target 0.4x of baseline = "

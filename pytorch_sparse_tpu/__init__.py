@@ -17,7 +17,7 @@ from .tensor import SparseTensor  # noqa
 from .ops import (  # noqa
     spmm_sum, spmm_add, spmm_mean, spmm_min, spmm_max, spspmm_sum, matmul,
     expansion_terms, spspmm_chunked, spspmm_native, spspmm_stream,
-    spspmm_diag,
+    spspmm_diag, spspmm_stream_device,
     HybridFormat, build_hybrid_from_tensor, hybrid_spmm,
     t, transpose, coalesce, eye, spmm, spspmm, spadd,
     to_jax_sparse, from_jax_sparse, to_torch_sparse, from_torch_sparse,
@@ -54,6 +54,7 @@ __all__ = [
     "spspmm_native",
     "spspmm_stream",
     "spspmm_diag",
+    "spspmm_stream_device",
     "HybridFormat",
     "build_hybrid_from_tensor",
     "hybrid_spmm",

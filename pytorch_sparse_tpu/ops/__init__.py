@@ -15,7 +15,7 @@ from .matmul import (  # noqa
 from .matmul import spspmm as spspmm_tensor  # noqa
 from .spgemm import (  # noqa
     expansion_terms, spspmm_chunked, spspmm_native, spspmm_stream,
-    spspmm_diag,
+    spspmm_diag, spspmm_stream_device,
 )
 from .kernels.hybrid import (  # noqa
     HybridFormat, build_hybrid_from_tensor, hybrid_spmm,

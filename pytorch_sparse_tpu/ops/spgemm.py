@@ -246,3 +246,130 @@ def spspmm_diag(A: SparseTensor, B: SparseTensor) -> jnp.ndarray:
     diag = np.zeros(D, np.float64)
     np.add.at(diag, rowA[sel][hit], terms)
     return jnp.asarray(diag.astype(dtype))
+
+
+# ----------------------------------------------------------------------
+# Device-accelerated streaming SpGEMM (VERDICT r4 item 6): the
+# dense-block x dense-block share of the product runs on the MXU
+# (ops/kernels/block_spgemm.py) while the remainder cross-terms stream
+# through the host Gustavson kernel — the two run CONCURRENTLY, so the
+# end-to-end numeric wall-clock is max(host cross-terms, device block
+# pass) instead of host-everything.
+# ----------------------------------------------------------------------
+
+def _block_split(T: SparseTensor, Bb: int, min_density: float):
+    """Split ``T`` into dense (Bb, Bb) blocks + a COO remainder.
+
+    Returns ``(blocks, srow, scol, remainder, dense_nnz)`` with
+    ``blocks`` a (nb, Bb, Bb) device array (None when no block clears
+    ``min_density``) and ``remainder`` a SparseTensor holding every
+    edge outside the dense blocks (the whole of ``T`` when blocks is
+    None).  Implicit values densify as 1.0, matching SpMM semantics."""
+    M, N = T.sparse_sizes()
+    row = T.storage.numpy_view("row")
+    col = T.storage.numpy_view("col")
+    v = T.storage.value()
+    val = None if v is None else np.asarray(v)
+    nbc = -(-N // Bb)
+    bid = (row // Bb).astype(np.int64) * nbc + col // Bb
+    ub, cnt = np.unique(bid, return_counts=True)
+    dense_ids = ub[cnt >= max(min_density * Bb * Bb, 2.0)]
+    if dense_ids.size == 0:
+        return None, None, None, T, 0
+    mask = np.isin(bid, dense_ids)
+    slot = np.searchsorted(dense_ids, bid[mask])
+    blocks = np.zeros((dense_ids.size, Bb, Bb), np.float32)
+    li = (row[mask] % Bb).astype(np.int64)
+    lj = (col[mask] % Bb).astype(np.int64)
+    np.add.at(blocks, (slot, li, lj),
+              1.0 if val is None else val[mask].astype(np.float32))
+    srow = (dense_ids // nbc).astype(np.int64)
+    scol = (dense_ids % nbc).astype(np.int64)
+    rem_val = None if val is None else jnp.asarray(val[~mask])
+    remainder = SparseTensor(
+        row=row[~mask], col=col[~mask], value=rem_val,
+        sparse_sizes=(M, N), is_sorted=True, trust_data=True,
+    )
+    return (jnp.asarray(blocks), srow, scol, remainder,
+            int(mask.sum()))
+
+
+def spspmm_stream_device(
+    A: SparseTensor, B: SparseTensor, Bb: int = 512,
+    min_density: float = 0.05, max_out_blocks: int = 2048,
+    max_terms: int = PLAN_MAX_TERMS, split_A=None, split_B=None,
+):
+    """Yield the product C = A @ B as a stream of pieces, with the
+    dense-block share computed on the MXU.
+
+    Pieces are tagged tuples the consumer ADDS together:
+
+    * ``("blocks", rows, cols, Cblk)`` — dense (n, Bb, Bb) output
+      blocks at block coordinates (device arrays; the D@D share).
+    * ``("coo", lo, hi, block)`` — a row-block SparseTensor (local row
+      ids) from the host stream (the D@R + R@D + R@R cross-terms,
+      streamed together as (D+R)@R + R@D so every term is produced
+      exactly once).
+
+    A C entry may receive contributions from BOTH piece kinds; exact
+    total = their sum (tests assert vs the dense oracle).  ``Bb`` and
+    ``min_density`` control the split; matrices with no dense blocks
+    fall back entirely to the host stream."""
+    from .kernels.block_spgemm import block_spgemm_stream
+
+    # A is B for the common A@A case: pass split_A=split_B=the one
+    # split so the multi-GB host densify runs once.
+    blkA, srA, scA, remA, _ = (
+        split_A if split_A is not None
+        else _block_split(A, Bb, min_density)
+    )
+    blkB, srB, scB, remB, _ = (
+        split_B if split_B is not None
+        else (split_A if (split_A is not None and B is A)
+              else _block_split(B, Bb, min_density))
+    )
+    if blkA is not None and blkB is not None:
+        # D@D on the MXU
+        for rows, cols, cblk in block_spgemm_stream(
+            blkA, srA, scA, blkB, srB, scB,
+            max_out_blocks=max_out_blocks,
+        ):
+            yield ("blocks", rows, cols, cblk)
+        # cross-terms: D_A@R_B + R_A@B  ==  A@R_B + R_A@D_B ... choose
+        # the grouping that partitions the term set exactly once:
+        # A@B = D@D + D@R_B + R_A@B, with R_A@B = R_A@(D_B + R_B).
+        for lo, hi, blk in spspmm_stream(A, remB, max_terms=max_terms):
+            yield ("coo", lo, hi, blk)
+        # R_A @ D_B: D_B = B minus remB (B's edges inside dense blocks),
+        # so the three streams partition the term set exactly:
+        # A@B = D_A@D_B + A@R_B + R_A@D_B.
+        DB = _dense_part(B, Bb, min_density)
+        if DB is not None and DB.nnz() > 0:
+            for lo, hi, blk in spspmm_stream(remA, DB,
+                                             max_terms=max_terms):
+                yield ("coo", lo, hi, blk)
+    else:
+        for lo, hi, blk in spspmm_stream(A, B, max_terms=max_terms):
+            yield ("coo", lo, hi, blk)
+
+
+def _dense_part(T: SparseTensor, Bb: int, min_density: float):
+    """The COO complement of ``_block_split``'s remainder: T's edges
+    INSIDE dense blocks (None when there are none)."""
+    M, N = T.sparse_sizes()
+    row = T.storage.numpy_view("row")
+    col = T.storage.numpy_view("col")
+    v = T.storage.value()
+    val = None if v is None else np.asarray(v)
+    nbc = -(-N // Bb)
+    bid = (row // Bb).astype(np.int64) * nbc + col // Bb
+    ub, cnt = np.unique(bid, return_counts=True)
+    dense_ids = ub[cnt >= max(min_density * Bb * Bb, 2.0)]
+    if dense_ids.size == 0:
+        return None
+    mask = np.isin(bid, dense_ids)
+    return SparseTensor(
+        row=row[mask], col=col[mask],
+        value=None if val is None else jnp.asarray(val[mask]),
+        sparse_sizes=(M, N), is_sorted=True, trust_data=True,
+    )

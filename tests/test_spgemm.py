@@ -166,3 +166,94 @@ def test_spspmm_diag_empty_operands():
     assert np.asarray(spspmm_diag(A, B)).tolist() == [0.0, 0.0]
     assert np.asarray(spspmm_diag(B, A)).tolist() == [0.0, 0.0]
     assert np.asarray(spspmm_diag(B, B)).tolist() == [0.0, 0.0]
+
+
+def test_block_spgemm_matches_dense_oracle():
+    """Device block SpGEMM (ops/kernels/block_spgemm.py): the windowed
+    MXU pair products reproduce the dense product of the block parts."""
+    import jax.numpy as jnp
+
+    from pytorch_sparse_tpu.ops.kernels.block_spgemm import (
+        block_spgemm_plan, block_spgemm_stream,
+    )
+
+    rng = np.random.RandomState(0)
+    Bb, nb_grid = 16, 6
+    M = Bb * nb_grid
+    # random block-sparse matrices
+    def mk(p, seed):
+        r = np.random.RandomState(seed)
+        occ = r.rand(nb_grid, nb_grid) < p
+        sr, sc = np.nonzero(occ)
+        blocks = r.randn(sr.size, Bb, Bb).astype(np.float32)
+        dense = np.zeros((M, M), np.float32)
+        for t in range(sr.size):
+            dense[sr[t]*Bb:(sr[t]+1)*Bb, sc[t]*Bb:(sc[t]+1)*Bb] = blocks[t]
+        return jnp.asarray(blocks), sr.astype(np.int64), sc.astype(np.int64), dense
+
+    blkA, srA, scA, dA = mk(0.4, 1)
+    blkB, srB, scB, dB = mk(0.5, 2)
+    want = dA @ dB
+    got = np.zeros((M, M), np.float32)
+    for rows, cols, cblk in block_spgemm_stream(
+            blkA, srA, scA, blkB, srB, scB, max_out_blocks=3):
+        cb = np.asarray(cblk)
+        for t in range(rows.size):
+            got[rows[t]*Bb:(rows[t]+1)*Bb,
+                cols[t]*Bb:(cols[t]+1)*Bb] += cb[t]
+    assert np.allclose(got, want, atol=1e-3)
+    # plan sanity: every pair matches on the inner block index
+    a_idx, b_idx, seg, orow, ocol = block_spgemm_plan(srA, scA, srB, scB)
+    assert np.array_equal(scA[a_idx], srB[b_idx])
+    assert np.array_equal(orow[seg], srA[a_idx])
+    assert np.array_equal(ocol[seg], scB[b_idx])
+
+
+def test_spspmm_stream_device_matches_dense_oracle():
+    """spspmm_stream_device: device D@D blocks + host cross-term COO
+    pieces SUM to the exact product (term partition is exact)."""
+    import jax.numpy as jnp
+
+    from pytorch_sparse_tpu.ops.spgemm import spspmm_stream_device
+    from pytorch_sparse_tpu.testing import community_graph
+
+    rng = np.random.RandomState(5)
+    M = 256
+    A = community_graph(M, 12000, 8, intra_p=0.85, rng=rng)
+    B = community_graph(M, 9000, 8, intra_p=0.85,
+                        rng=np.random.RandomState(6))
+    dA = np.zeros((M, M), np.float32)
+    np.add.at(dA, (np.asarray(A.storage.numpy_view("row")),
+                   np.asarray(A.storage.numpy_view("col"))),
+              np.asarray(A.storage.value()))
+    dB = np.zeros((M, M), np.float32)
+    np.add.at(dB, (np.asarray(B.storage.numpy_view("row")),
+                   np.asarray(B.storage.numpy_view("col"))),
+              np.asarray(B.storage.value()))
+    want = dA @ dB
+
+    for Bb, mind in [(32, 0.05), (16, 0.02)]:
+        got = np.zeros((M, M), np.float32)
+        n_blocks = n_coo = 0
+        for piece in spspmm_stream_device(A, B, Bb=Bb,
+                                          min_density=mind,
+                                          max_out_blocks=7):
+            if piece[0] == "blocks":
+                _, rows, cols, cblk = piece
+                cb = np.asarray(cblk)
+                for t in range(rows.size):
+                    got[rows[t]*Bb:(rows[t]+1)*Bb,
+                        cols[t]*Bb:(cols[t]+1)*Bb] += cb[t]
+                n_blocks += rows.size
+            else:
+                _, lo, hi, blk = piece
+                r = np.asarray(blk.storage.numpy_view("row")) + lo
+                c = np.asarray(blk.storage.numpy_view("col"))
+                v = blk.storage.value()
+                np.add.at(got, (r, c),
+                          1.0 if v is None else np.asarray(v))
+                n_coo += blk.nnz()
+        assert n_blocks > 0, "community graph must produce device blocks"
+        assert np.allclose(got, want, atol=2e-2), (
+            f"Bb={Bb}: max err {np.abs(got - want).max():.2e}"
+        )
