@@ -120,7 +120,11 @@ def main():
     sc = sc.reshape(nch, C)
     big = jnp.float32(-3.4e38)
 
-    def blk_max(xp, with_arg):
+    # tables must be jit ARGUMENTS: closed over they become HLO
+    # constants and the remote compile rejects the payload (HTTP 413 —
+    # CLAUDE.md closure-vs-argument rule; first attempt hit exactly
+    # this at ~45 min of buffering).
+    def blk_max(xp, vb, eb, sr, sc, with_arg):
         xb = xp.reshape(nbr, B, args.K)
 
         def step(carry, t):
@@ -147,15 +151,16 @@ def main():
 
     for with_arg, key in ((False, "blk_max_ms"), (True, "blk_arg_ms")):
         init = jax.jit(
-            lambda xq, wa=with_arg: blk_max(xq, wa)
-        )(xp)
+            lambda xq, v, e, r, c, wa=with_arg: blk_max(xq, v, e, r, c,
+                                                        wa)
+        )(xp, vb, eb, sr, sc)
 
-        def timed(c, xq, wa=with_arg):
-            leaf = c[0] if wa else c  # consume carry (timing.py rule)
+        def timed(cr, xq, v, e, r, c, wa=with_arg):
+            leaf = cr[0] if wa else cr  # consume carry (timing.py rule)
             return blk_max(xq + leaf[0, 0, 0].astype(xq.dtype) * 1e-30,
-                           wa)
+                           v, e, r, c, wa)
 
-        dt = device_time(timed, init, xp)
+        dt = device_time(timed, init, xp, vb, eb, sr, sc)
         report[key] = round(dt * 1e3, 2)
         report[key.replace("_ms", "_ns_per_slot")] = round(
             dt / (nb * B * B * 1.0) * 1e9 * 1.0, 3
