@@ -78,9 +78,8 @@ def main():
     if not args.skip_host_full:
         t0 = time.time()
         acc = 0.0
-        for lo, hi, blk in spspmm_stream(A, A):
-            v = blk.storage.value()
-            acc += float(np.asarray(v, np.float64).sum())
+        for lo, hi, (rp, cc, vv) in spspmm_stream(A, A, raw=True):
+            acc += float(vv.astype(np.float64).sum())
         report["host_only_s"] = round(time.time() - t0, 1)
         report["host_only_rel_err"] = abs(acc - oracle) / abs(oracle)
         report["host_Mterms_s"] = round(
@@ -98,23 +97,30 @@ def main():
         acc = 0.0
         pending = []
         n_blk_windows = 0
+        t_dd = None
         for piece in spspmm_stream_device(
             A, A, Bb=args.B, min_density=args.min_density,
             max_out_blocks=args.max_out_blocks,
-            split_A=split, split_B=split,
+            split_A=split, split_B=split, raw_coo=True,
         ):
             if piece[0] == "blocks":
                 # async device reduce; collect, block at the end
                 pending.append(jnp.sum(piece[3], dtype=jnp.float32))
                 n_blk_windows += 1
             else:
-                v = piece[3].storage.value()
-                if v is not None:
-                    acc += float(np.asarray(v, np.float64).sum())
+                if t_dd is None:
+                    # all device windows DISPATCHED (async) by now
+                    t_dd = time.time() - t0
+                vv = piece[3][2]
+                if vv is not None:
+                    acc += float(vv.astype(np.float64).sum())
         for p in pending:
             acc += float(p)
         dt = time.time() - t0
         report["device_split_s"] = round(dt, 1)
+        if t_dd is not None:
+            report["dd_dispatch_s"] = round(t_dd, 1)
+            report["host_cross_s"] = round(dt - t_dd, 1)
         report["device_Mterms_s"] = round(terms / dt / 1e6, 1)
         report["blk_windows"] = n_blk_windows
         report["device_rel_err"] = abs(acc - oracle) / abs(oracle)

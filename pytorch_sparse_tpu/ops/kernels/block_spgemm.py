@@ -110,6 +110,11 @@ def block_spgemm_window(
         return out0[:n_out]
     ch = _pair_chunk(Bb, max(elem, 2))
     nch = -(-npairs // ch)
+    # Round the chunk count up to the next power of two: windows with
+    # different pair counts then share log-many compiled programs
+    # instead of one per window (each unique (nch, n_out) is a fresh
+    # XLA compile — minutes each through the remote tunnel).
+    nch = 1 << (nch - 1).bit_length()
     pad = nch * ch - npairs
     # padding pairs hit the sentinel output slot n_out with block 0 of
     # each operand; their product lands in the dropped slot.
@@ -161,10 +166,13 @@ def block_spgemm_stream(
     while lo < n_out_total:
         hi = min(lo + max_out_blocks, n_out_total)
         p0, p1 = int(seg_start[lo]), int(seg_end[hi - 1])
+        # fixed n_out across windows (last window's tail slots stay
+        # zero): one compiled program per pair-count bucket, not per
+        # window.
         cblk = block_spgemm_window(
             blocksA, blocksB, a_idx[p0:p1], b_idx[p0:p1],
-            out_seg[p0:p1] - lo, hi - lo, precision=precision,
+            out_seg[p0:p1] - lo, max_out_blocks, precision=precision,
             acc_dtype=acc_dtype,
         )
-        yield out_row[lo:hi], out_col[lo:hi], cblk
+        yield out_row[lo:hi], out_col[lo:hi], cblk[:hi - lo]
         lo = hi

@@ -160,6 +160,7 @@ def spspmm_large(A: SparseTensor, B: SparseTensor) -> SparseTensor:
 
 def spspmm_stream(
     A: SparseTensor, B: SparseTensor, max_terms: int = PLAN_MAX_TERMS,
+    raw: bool = False,
 ) -> Iterator[Tuple[int, int, SparseTensor]]:
     """Yield (row_lo, row_hi, C[row_lo:row_hi]) blocks of C = A@B.
 
@@ -167,6 +168,12 @@ def spspmm_stream(
     ids; C itself is never materialized, so the product's output may
     exceed device (or host) memory.  Blocks are sized so each holds at
     most ``max_terms`` expansion terms.
+
+    ``raw=True`` yields ``(lo, hi, (rowptrC, colC, valC))`` as HOST
+    numpy arrays instead of SparseTensors — for host-side reduction
+    consumers (checksums, diag, statistics) this skips the device
+    upload entirely (and on the remote-tunnel dev harness, the ~30x
+    slower device->host pull a consumer would otherwise pay).
     """
     from ..csrc import bindings, lib
     from .matmul import _plan_numeric, _spspmm_structure
@@ -190,6 +197,9 @@ def spspmm_stream(
                 rowptrA_np, colA_np, va, rowptrB_np, colB_np, vb, P,
                 row_lo=lo, row_hi=hi,
             )
+            if raw:
+                yield lo, hi, (rowptrC, colC, valC)
+                continue
             block = SparseTensor(
                 rowptr=jnp.asarray(rowptrC.astype(np.int32)),
                 col=jnp.asarray(colC.astype(np.int32)),
@@ -203,6 +213,15 @@ def spspmm_stream(
             )
             v = _plan_numeric(valueA, valueB, A.nnz(), B.nnz(), a_pos,
                               b_pos, t_tabs, inv, n_out)
+            if raw:
+                from ..utils.convert import ind2ptr
+
+                rp = np.asarray(ind2ptr(rowC - lo, hi - lo))
+                yield lo, hi, (
+                    rp, np.asarray(colC),
+                    None if v is None else np.asarray(v),
+                )
+                continue
             block = SparseTensor(
                 row=rowC - lo, col=colC, value=v,
                 sparse_sizes=(hi - lo, P), is_sorted=True, trust_data=True,
@@ -278,11 +297,16 @@ def _block_split(T: SparseTensor, Bb: int, min_density: float):
         return None, None, None, T, 0
     mask = np.isin(bid, dense_ids)
     slot = np.searchsorted(dense_ids, bid[mask])
-    blocks = np.zeros((dense_ids.size, Bb, Bb), np.float32)
     li = (row[mask] % Bb).astype(np.int64)
     lj = (col[mask] % Bb).astype(np.int64)
-    np.add.at(blocks, (slot, li, lj),
-              1.0 if val is None else val[mask].astype(np.float32))
+    # bincount, not np.add.at: the scatter path measured ~7x slower at
+    # 10M edges (74 s of the 0.1-scale spgemm bench was this one line).
+    flat = (slot * Bb + li) * Bb + lj
+    w = (np.ones(flat.size, np.float32) if val is None
+         else val[mask].astype(np.float32))
+    blocks = np.bincount(
+        flat, weights=w, minlength=dense_ids.size * Bb * Bb
+    ).astype(np.float32).reshape(dense_ids.size, Bb, Bb)
     srow = (dense_ids // nbc).astype(np.int64)
     scol = (dense_ids % nbc).astype(np.int64)
     rem_val = None if val is None else jnp.asarray(val[~mask])
@@ -298,6 +322,7 @@ def spspmm_stream_device(
     A: SparseTensor, B: SparseTensor, Bb: int = 512,
     min_density: float = 0.05, max_out_blocks: int = 2048,
     max_terms: int = PLAN_MAX_TERMS, split_A=None, split_B=None,
+    raw_coo: bool = False,
 ):
     """Yield the product C = A @ B as a stream of pieces, with the
     dense-block share computed on the MXU.
@@ -314,7 +339,10 @@ def spspmm_stream_device(
     A C entry may receive contributions from BOTH piece kinds; exact
     total = their sum (tests assert vs the dense oracle).  ``Bb`` and
     ``min_density`` control the split; matrices with no dense blocks
-    fall back entirely to the host stream."""
+    fall back entirely to the host stream.  ``raw_coo=True`` makes the
+    coo pieces carry host ``(rowptr, col, val)`` numpy triples instead
+    of SparseTensors (see ``spspmm_stream(raw=...)``) — host-reduction
+    consumers then never touch the device."""
     from .kernels.block_spgemm import block_spgemm_stream
 
     # A is B for the common A@A case: pass split_A=split_B=the one
@@ -338,7 +366,8 @@ def spspmm_stream_device(
         # cross-terms: D_A@R_B + R_A@B  ==  A@R_B + R_A@D_B ... choose
         # the grouping that partitions the term set exactly once:
         # A@B = D@D + D@R_B + R_A@B, with R_A@B = R_A@(D_B + R_B).
-        for lo, hi, blk in spspmm_stream(A, remB, max_terms=max_terms):
+        for lo, hi, blk in spspmm_stream(A, remB, max_terms=max_terms,
+                                         raw=raw_coo):
             yield ("coo", lo, hi, blk)
         # R_A @ D_B: D_B = B minus remB (B's edges inside dense blocks),
         # so the three streams partition the term set exactly:
@@ -346,10 +375,12 @@ def spspmm_stream_device(
         DB = _dense_part(B, Bb, min_density)
         if DB is not None and DB.nnz() > 0:
             for lo, hi, blk in spspmm_stream(remA, DB,
-                                             max_terms=max_terms):
+                                             max_terms=max_terms,
+                                             raw=raw_coo):
                 yield ("coo", lo, hi, blk)
     else:
-        for lo, hi, blk in spspmm_stream(A, B, max_terms=max_terms):
+        for lo, hi, blk in spspmm_stream(A, B, max_terms=max_terms,
+                                         raw=raw_coo):
             yield ("coo", lo, hi, blk)
 
 

@@ -257,3 +257,29 @@ def test_spspmm_stream_device_matches_dense_oracle():
         assert np.allclose(got, want, atol=2e-2), (
             f"Bb={Bb}: max err {np.abs(got - want).max():.2e}"
         )
+
+
+def test_spspmm_stream_raw_matches_wrapped():
+    """raw=True host triples carry exactly the wrapped blocks' data."""
+    from pytorch_sparse_tpu.ops.spgemm import spspmm_stream
+
+    rng = np.random.RandomState(9)
+    M = 120
+    A = SparseTensor(
+        row=rng.randint(0, M, 2000), col=rng.randint(0, M, 2000),
+        value=jnp.asarray(rng.randn(2000).astype(np.float32)),
+        sparse_sizes=(M, M),
+    ).coalesce("add")
+    got = list(spspmm_stream(A, A, max_terms=5000, raw=True))
+    want = list(spspmm_stream(A, A, max_terms=5000))
+    assert len(got) == len(want)
+    for (lo, hi, (rp, cc, vv)), (lo2, hi2, blk) in zip(got, want):
+        assert (lo, hi) == (lo2, hi2)
+        assert isinstance(rp, np.ndarray)
+        r2, c2, v2 = blk.coo()
+        assert np.array_equal(cc.astype(np.int64),
+                              np.asarray(c2).astype(np.int64))
+        assert np.allclose(vv, np.asarray(v2), atol=1e-6)
+        assert np.array_equal(np.diff(rp.astype(np.int64)),
+                              np.bincount(np.asarray(r2),
+                                          minlength=hi - lo))
