@@ -500,23 +500,31 @@ def _hier_local_hyb(Mb, B, use_fid, use_fxd,
 def dist_spmm_hier(
     A: HierShardedSparseMatrix, x_sharded: jnp.ndarray,
     reduce: str = "sum", local_format: str = "ell",
+    value=None,
 ):
     """Hierarchy-aware SpMM: interior compute + intra-slice halos over
     ICI + slice-deduplicated cross-slice unions over DCN.  Same 4-mode
     reduce contract (and argout semantics) as ``dist_spmm``;
     ``local_format`` as in :func:`..dist.dist_spmm_halo` (``"hybrid"``
-    puts the interior dense blocks on the MXU for sum/mean)."""
+    puts the interior dense blocks on the MXU for sum/mean).
+
+    ``value``: optional EDGE-SPACE value override (nnz,) in original
+    edge ids, differentiable exactly as in ``dist_spmm`` (the slot
+    tables are rebuilt through the edge-id tables); forces the ELL
+    local format."""
     is_min = _is_min_of(reduce)
     spec3 = P((dcn_axis, data_axis), None, None)
     xspec = A._xspec
     use_hyb = (
         local_format in ("hybrid", "auto")
         and A.has_interior_blocks() and is_min is None
+        and value is None
     )
     if local_format == "hybrid" and not use_hyb:
         raise ValueError(
-            "local_format='hybrid' needs interior blocks and reduce in "
-            "sum/mean; use 'auto' to fall back silently"
+            "local_format='hybrid' needs interior blocks, reduce in "
+            "sum/mean, and no edge-space value override; use 'auto' to "
+            "fall back silently"
         )
     if use_hyb:
         spec2 = P((dcn_axis, data_axis), None)
@@ -574,9 +582,16 @@ def dist_spmm_hier(
         ),
         out_specs=xspec if is_min is None else (xspec, xspec),
     )
-    res = fn(A.int_itabs, A.int_vtabs, A.int_etabs, A.int_inv,
-             A.fi_itabs, A.fi_vtabs, A.fi_etabs, A.fi_inv, A.serve_ici,
-             A.fx_itabs, A.fx_vtabs, A.fx_etabs, A.fx_inv, A.serve_dcn,
+    int_vtabs, fi_vtabs, fx_vtabs = A.int_vtabs, A.fi_vtabs, A.fx_vtabs
+    if value is not None:
+        from .dist import _vtabs_from_value
+
+        int_vtabs = _vtabs_from_value(value, A.int_etabs)
+        fi_vtabs = _vtabs_from_value(value, A.fi_etabs)
+        fx_vtabs = _vtabs_from_value(value, A.fx_etabs)
+    res = fn(A.int_itabs, int_vtabs, A.int_etabs, A.int_inv,
+             A.fi_itabs, fi_vtabs, A.fi_etabs, A.fi_inv, A.serve_ici,
+             A.fx_itabs, fx_vtabs, A.fx_etabs, A.fx_inv, A.serve_dcn,
              x_sharded)
     if is_min is None:
         return _postprocess(A, res, None, reduce, x_sharded.dtype)

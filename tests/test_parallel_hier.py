@@ -297,3 +297,33 @@ def test_hier_frontier_dense_route(mesh):
         A, mesh, block_B=B, frontier_dense="never"
     )
     assert Ah2.fi_dense is None and Ah2.fx_dense is None
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "min", "max"])
+def test_hier_public_value_grads(mesh, reduce):
+    """Edge-space value gradients on the hierarchical schedule: same
+    public contract as dist_spmm (VERDICT r4 item 5 extended)."""
+    import jax
+
+    from pytorch_sparse_tpu import matmul
+
+    A = _random_adj(64, 512, seed=21)
+    E = A.nnz()
+    value = A.storage.value()
+    x = jnp.asarray(np.random.RandomState(3).randn(64, 5), jnp.float32)
+    Ah = HierShardedSparseMatrix.from_sparse_tensor(A, mesh)
+    xs = Ah.shard_dense(x)
+
+    def single(v):
+        return (matmul(A.set_value(v, layout="coo"), x, reduce) ** 2).sum()
+
+    def dist(v):
+        res = dist_spmm_hier(Ah, xs, reduce, value=v)
+        out = res[0] if reduce in ("min", "max") else res
+        return (out ** 2).sum()
+
+    l_ref, g_ref = jax.value_and_grad(single)(value)
+    l_got, g_got = jax.jit(jax.value_and_grad(dist))(value)
+    assert g_got.shape == (E,)
+    assert np.allclose(float(l_got), float(l_ref), rtol=1e-4)
+    assert np.allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-3)
