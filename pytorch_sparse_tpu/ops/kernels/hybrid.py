@@ -331,7 +331,13 @@ def build_dense(row: np.ndarray, col: np.ndarray,
     v = np.ones(row.shape[0], acc_dt) if value is None else (
         np.asarray(value).astype(acc_dt)
     )
-    np.add.at(dense, (np.asarray(row, np.int64), np.asarray(col, np.int64)), v)
+    # sort+reduceat (see build_hybrid): np.add.at costs ~7 s/M edges.
+    flat = np.asarray(row, np.int64) * N + np.asarray(col, np.int64)
+    if flat.size:
+        order = np.argsort(flat, kind="stable")
+        fs, vs = flat[order], v[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(fs)) + 1])
+        dense.reshape(-1)[fs[starts]] = np.add.reduceat(vs, starts)
     return DenseFormat(jnp.asarray(dense.astype(dt)), M, N)
 
 
@@ -410,11 +416,17 @@ def build_hybrid(
     blk_dt = np.float64 if val.dtype == np.float64 else np.float32
     blocks = np.zeros((nb + 1, B, B), blk_dt)
     if dense_nnz:
-        np.add.at(
-            blocks,
-            (occ_slot[inv_key[dsel]], row[dsel] % B, col[dsel] % B),
-            val[dsel].astype(blk_dt),
-        )
+        # sort+reduceat instead of np.add.at: the elementwise scatter
+        # measured ~7 s per 1M edges on this host (np.add.at has no
+        # vectorized fast path); the sort formulation is O(E log E)
+        # with O(E) memory and ~20x faster at products/Reddit scales.
+        flat = ((occ_slot[inv_key[dsel]] * B + row[dsel] % B) * B
+                + col[dsel] % B)
+        vs = val[dsel].astype(blk_dt)
+        order = np.argsort(flat, kind="stable")
+        fs, vs = flat[order], vs[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(fs)) + 1])
+        blocks.reshape(-1)[fs[starts]] = np.add.reduceat(vs, starts)
     slot_row = dense_keys // C          # sorted (keys are row-major)
     slot_col = dense_keys % C
     order_t = stable_argsort(slot_col)  # transpose schedule

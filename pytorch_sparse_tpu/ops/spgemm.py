@@ -299,14 +299,21 @@ def _block_split(T: SparseTensor, Bb: int, min_density: float):
     slot = np.searchsorted(dense_ids, bid[mask])
     li = (row[mask] % Bb).astype(np.int64)
     lj = (col[mask] % Bb).astype(np.int64)
-    # bincount, not np.add.at: the scatter path measured ~7x slower at
-    # 10M edges (74 s of the 0.1-scale spgemm bench was this one line).
+    # sort+reduceat, not np.add.at (the scatter measured ~7x slower at
+    # 10M edges — 74 s of the 0.1-scale spgemm bench was this line) and
+    # not bincount (its float64 output materializes the WHOLE block
+    # store at 8 B/slot — 15+ GB at full-Reddit scale).  O(E) memory.
     flat = (slot * Bb + li) * Bb + lj
     w = (np.ones(flat.size, np.float32) if val is None
          else val[mask].astype(np.float32))
-    blocks = np.bincount(
-        flat, weights=w, minlength=dense_ids.size * Bb * Bb
-    ).astype(np.float32).reshape(dense_ids.size, Bb, Bb)
+    blocks = np.zeros((dense_ids.size, Bb, Bb), np.float32)
+    if flat.size:
+        order = np.argsort(flat, kind="stable")
+        fs, vs = flat[order], w[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(fs)) + 1]
+        )
+        blocks.reshape(-1)[fs[starts]] = np.add.reduceat(vs, starts)
     srow = (dense_ids // nbc).astype(np.int64)
     scol = (dense_ids % nbc).astype(np.int64)
     rem_val = None if val is None else jnp.asarray(val[~mask])
