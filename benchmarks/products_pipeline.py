@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--parts", type=int, default=8)
     ap.add_argument("--feat", type=int, default=100)
+    ap.add_argument("--grouping", type=str, default="within",
+                    choices=["within", "quotient"],
+                    help="partition_fine grouping (within: direct coarse "
+                         "cut + per-part fine reorder)")
     ap.add_argument("--fine", type=int, default=0,
                     help="reorder with a FINE K-way partition (0=off, "
                          "-1=auto M//512) before grouping into --parts "
@@ -111,7 +115,8 @@ def main():
         # contiguous grouping measured 0.41 vs 0.21 at 0.25 scale).
         Kf = args.fine if args.fine > 0 else max(M // 512, args.parts)
         padj, partptr, perm = ts.partition_fine(A, args.parts,
-                                                fine_parts=Kf)
+                                                fine_parts=Kf,
+                                                grouping=args.grouping)
         pp = np.asarray(partptr)
         report["fine_parts"] = int(Kf)
     else:

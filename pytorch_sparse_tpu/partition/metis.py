@@ -238,6 +238,7 @@ def partition_fine(
     weighted: bool = False,
     node_weight: Optional[jnp.ndarray] = None,
     fine_method: str = "auto",
+    grouping: str = "quotient",
 ) -> Tuple[SparseTensor, jnp.ndarray, jnp.ndarray]:
     """Two-level partition: a FINE ``fine_parts``-way reorder grouped
     into ``num_parts`` coarse buckets via a quotient-graph partition.
@@ -278,12 +279,33 @@ def partition_fine(
       Cluster sizes are matching-determined (~M/fine_parts on
       average); ``node_weight`` influences only the quotient level.
     * ``"auto"`` — ``"coarsen"`` for large ``fine_parts`` (>= 256)
-      when the native lib is present, else ``"partition"``."""
+      when the native lib is present, else ``"partition"``.
+
+    ``grouping`` selects how fine order and coarse parts compose:
+
+    * ``"quotient"`` — fine partition FIRST, then a quotient-graph
+      partition groups whole fine clusters into the coarse buckets.
+      Communities stay whole across part boundaries, but the coarse
+      cut pays for fine-cluster mixing (measured full-products: 0.39
+      vs the direct partition's 0.21).
+    * ``"within"`` — the DIRECT ``num_parts`` partition first (its cut
+      is untouched), then each part's interior is reordered by fine
+      clusters of the part-induced subgraph.  The per-part SpMM gets
+      the same contiguous-community blocks while the coarse cut equals
+      plain ``partition()``'s — the right mode for ClusterGCN-style
+      per-part compute (communities crossing part boundaries are split,
+      which per-part compute never sees; full-products A/B in
+      BASELINE.md round 5)."""
     M = src.sparse_size(0)
     Kf = fine_parts if fine_parts > 0 else max(M // 512, num_parts)
     if Kf <= num_parts:
         return partition(src, num_parts, weighted=weighted,
                          node_weight=node_weight, num_workers=num_workers)
+    if grouping == "within":
+        return _partition_fine_within(
+            src, num_parts, Kf, num_workers, weighted, node_weight)
+    if grouping != "quotient":
+        raise ValueError(f"unknown grouping: {grouping!r}")
     method = fine_method
     if method == "auto":
         from ..csrc import bindings as _b
@@ -364,6 +386,58 @@ def partition_fine(
     return out, jnp.asarray(partptr_np), jnp.asarray(perm_np)
 
 
+def _partition_fine_within(
+    src: SparseTensor,
+    num_parts: int,
+    Kf: int,
+    num_workers: int,
+    weighted: bool,
+    node_weight,
+) -> Tuple[SparseTensor, jnp.ndarray, jnp.ndarray]:
+    """``grouping="within"`` body: direct coarse partition, then each
+    part's interior reordered by coarsen-hierarchy clusters of the
+    part-induced subgraph (one O(E_part) pass per part)."""
+    from ..csrc import bindings as _b
+
+    M = src.sparse_size(0)
+    padj, partptr, perm = partition(
+        src, num_parts, weighted=weighted, node_weight=node_weight,
+        num_workers=num_workers,
+    )
+    pp = np.asarray(partptr).astype(np.int64)
+    rowptr = np.asarray(padj.storage.numpy_view("rowptr"))
+    col = np.asarray(padj.storage.numpy_view("col"))
+    node_order = np.empty(M, np.int64)
+    for p in range(num_parts):
+        lo, hi = int(pp[p]), int(pp[p + 1])
+        n = hi - lo
+        if n <= 1:
+            node_order[lo:hi] = np.arange(lo, hi)
+            continue
+        # part-induced subgraph (intra-part edges, local ids)
+        e_lo, e_hi = int(rowptr[lo]), int(rowptr[hi])
+        cols = col[e_lo:e_hi]
+        keep = (cols >= lo) & (cols < hi)
+        sub_col = (cols[keep] - lo).astype(np.int64)
+        # per-row kept counts -> local rowptr
+        row_ids = np.repeat(
+            np.arange(n), np.diff(rowptr[lo:hi + 1]).astype(np.int64)
+        )
+        cnt = np.bincount(row_ids[keep], minlength=n)
+        sub_rowptr = np.concatenate([[0], np.cumsum(cnt)]).astype(
+            np.int64)
+        target = max(n * Kf // max(M, 1), 1)
+        if _b.available() and sub_col.size:
+            cl, _nc = _b.coarsen_clusters(sub_rowptr, sub_col, target)
+        else:
+            cl = np.zeros(n, np.int64)
+        node_order[lo:hi] = lo + stable_argsort(cl)
+    np_index = np.dtype(INDEX_DTYPE)
+    out = permute(padj, node_order.astype(np_index))
+    perm_np = np.asarray(perm)[node_order].astype(np_index)
+    return out, partptr, jnp.asarray(perm_np)
+
+
 def mt_partition(
     src: SparseTensor,
     num_parts: int,
@@ -394,7 +468,8 @@ SparseTensor.mt_partition = (
 )
 SparseTensor.partition_fine = (
     lambda self, num_parts, fine_parts=0, num_workers=0, weighted=False,
-    node_weight=None, fine_method="auto": partition_fine(
+    node_weight=None, fine_method="auto", grouping="quotient":
+    partition_fine(
         self, num_parts, fine_parts, num_workers, weighted, node_weight,
-        fine_method)
+        fine_method, grouping)
 )

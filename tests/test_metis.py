@@ -316,3 +316,65 @@ def test_partition_fine_weighted_passthrough():
             w = np.asarray(nw)[perm_np]
             psums = np.bincount(part, weights=w, minlength=4)
             assert psums.max() <= 1.6 * psums.mean()
+
+
+def test_partition_fine_within_grouping():
+    """grouping="within": coarse cut IDENTICAL to the direct partition
+    (same partptr), per-part interiors reordered so scattered
+    communities become contiguous (dense coverage rises), contract
+    preserved."""
+    import pytorch_sparse_tpu as ts
+    from pytorch_sparse_tpu.ops.kernels.hybrid import dense_fraction
+
+    rng = np.random.RandomState(5)
+    M, n_comm = 4096, 64
+    comm = rng.randint(0, n_comm, M)
+    src = rng.randint(0, M, 100_000)
+    dst = rng.randint(0, M, 100_000)
+    intra = rng.rand(src.size) < 0.85
+    byc = [np.flatnonzero(comm == c) for c in range(n_comm)]
+    for c in range(n_comm):
+        sel = intra & (comm[src] == c)
+        if byc[c].size:
+            dst[sel] = byc[c][rng.randint(0, byc[c].size, int(sel.sum()))]
+    A = ts.SparseTensor(
+        row=jnp.asarray(src.astype(np.int64)),
+        col=jnp.asarray(dst.astype(np.int64)), sparse_sizes=(M, M),
+    ).coalesce("add")
+
+    pad0, pp0, _ = ts.partition(A, 4)
+    padw, ppw, permw = ts.partition_fine(A, 4, fine_parts=n_comm,
+                                         fine_method="coarsen",
+                                         grouping="within")
+    # same coarse structure: identical partptr and identical cut
+    assert np.array_equal(np.asarray(pp0), np.asarray(ppw))
+
+    def cut(p, pp):
+        r = np.asarray(p.storage.numpy_view("row"))
+        c = np.asarray(p.storage.numpy_view("col"))
+        part = np.searchsorted(np.asarray(pp), np.arange(M),
+                               side="right") - 1
+        return float((part[r] != part[c]).mean())
+
+    assert abs(cut(pad0, pp0) - cut(padw, ppw)) < 1e-12
+    # contract: perm is a permutation, padw is the relabel of A
+    pw = np.asarray(permw)
+    assert np.array_equal(np.sort(pw), np.arange(M))
+    inv = np.empty(M, np.int64)
+    inv[pw] = np.arange(M)
+    r = np.asarray(padw.storage.numpy_view("row"))
+    c = np.asarray(padw.storage.numpy_view("col"))
+    Ar = np.asarray(A.storage.numpy_view("row"))
+    Ac = np.asarray(A.storage.numpy_view("col"))
+    assert np.array_equal(
+        np.sort(r.astype(np.int64) * M + c),
+        np.sort(inv[Ar].astype(np.int64) * M + inv[Ac]),
+    )
+    # contiguity: within-reorder beats the direct partition's coverage
+    B = 64
+    f0, _ = dense_fraction(
+        np.asarray(pad0.storage.numpy_view("row")),
+        np.asarray(pad0.storage.numpy_view("col")), M, M, B=B,
+        min_density=0.02)
+    fw, _ = dense_fraction(r, c, M, M, B=B, min_density=0.02)
+    assert fw > f0 + 0.1, (fw, f0)
