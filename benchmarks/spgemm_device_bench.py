@@ -20,6 +20,10 @@ import os
 import sys
 import time
 
+
+def _log(msg):
+    print(f"[spgemm_device_bench] {msg}", file=sys.stderr, flush=True)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,6 +36,10 @@ def main():
     ap.add_argument("--B", type=int, default=512)
     ap.add_argument("--min-density", type=float, default=0.02)
     ap.add_argument("--max-out-blocks", type=int, default=2048)
+    ap.add_argument("--bf16-blocks", action="store_true",
+                    help="store the D@D operands bf16 on device (halves "
+                         "HBM; needed at full scale next to the window "
+                         "carry)")
     ap.add_argument("--skip-host-full", action="store_true",
                     help="skip the host-only baseline (known ~300 s at "
                          "full scale)")
@@ -61,6 +69,7 @@ def main():
         layout="coo",
     )
     report["build_s"] = round(time.time() - t0, 1)
+    _log(f"built in {report['build_s']}s")
     report["nodes"], report["nnz"] = M, int(A.nnz())
     terms = expansion_terms(A, A)
     report["terms"] = terms
@@ -74,6 +83,7 @@ def main():
     np.add.at(colsum, col, val)
     oracle = float(np.dot(colsum, rowsum))
     report["oracle_sum"] = oracle
+    _log("oracle ready")
 
     if not args.skip_host_full:
         t0 = time.time()
@@ -88,9 +98,13 @@ def main():
 
     if not args.skip_device:
         t0 = time.time()
-        split = _block_split(A, args.B, args.min_density)
+        split = _block_split(
+            A, args.B, args.min_density,
+            jnp.bfloat16 if args.bf16_blocks else None,
+        )
         blkA, srA, scA, remA, dnnz = split
         report["split_s"] = round(time.time() - t0, 1)
+        _log(f"split in {report['split_s']}s")
         report["blocks"] = 0 if blkA is None else int(blkA.shape[0])
         report["dense_frac"] = round(dnnz / max(A.nnz(), 1), 3)
         t0 = time.time()
@@ -117,6 +131,7 @@ def main():
         for p in pending:
             acc += float(p)
         dt = time.time() - t0
+        _log(f"device stream done in {dt:.1f}s")
         report["device_split_s"] = round(dt, 1)
         if t_dd is not None:
             report["dd_dispatch_s"] = round(t_dd, 1)

@@ -276,14 +276,19 @@ def spspmm_diag(A: SparseTensor, B: SparseTensor) -> jnp.ndarray:
 # pass) instead of host-everything.
 # ----------------------------------------------------------------------
 
-def _block_split(T: SparseTensor, Bb: int, min_density: float):
+def _block_split(T: SparseTensor, Bb: int, min_density: float,
+                 block_dtype=None):
     """Split ``T`` into dense (Bb, Bb) blocks + a COO remainder.
 
     Returns ``(blocks, srow, scol, remainder, dense_nnz)`` with
     ``blocks`` a (nb, Bb, Bb) device array (None when no block clears
     ``min_density``) and ``remainder`` a SparseTensor holding every
     edge outside the dense blocks (the whole of ``T`` when blocks is
-    None).  Implicit values densify as 1.0, matching SpMM semantics."""
+    None).  Implicit values densify as 1.0, matching SpMM semantics.
+    ``block_dtype=jnp.bfloat16`` halves the device store (full-Reddit
+    f32 blocks plus the window carry exceed a 16 GB HBM — the store
+    rounds the OPERANDS like the SpMM block store's bf16 rule; pair
+    products then ride one native MXU pass)."""
     M, N = T.sparse_sizes()
     row = T.storage.numpy_view("row")
     col = T.storage.numpy_view("col")
@@ -314,6 +319,13 @@ def _block_split(T: SparseTensor, Bb: int, min_density: float):
             [[0], np.flatnonzero(np.diff(fs)) + 1]
         )
         blocks.reshape(-1)[fs[starts]] = np.add.reduceat(vs, starts)
+    if block_dtype is not None:
+        import ml_dtypes
+
+        blocks = blocks.astype(
+            ml_dtypes.bfloat16 if block_dtype == jnp.bfloat16
+            else block_dtype
+        )
     srow = (dense_ids // nbc).astype(np.int64)
     scol = (dense_ids % nbc).astype(np.int64)
     rem_val = None if val is None else jnp.asarray(val[~mask])
@@ -329,7 +341,7 @@ def spspmm_stream_device(
     A: SparseTensor, B: SparseTensor, Bb: int = 512,
     min_density: float = 0.05, max_out_blocks: int = 2048,
     max_terms: int = PLAN_MAX_TERMS, split_A=None, split_B=None,
-    raw_coo: bool = False,
+    raw_coo: bool = False, block_dtype=None,
 ):
     """Yield the product C = A @ B as a stream of pieces, with the
     dense-block share computed on the MXU.
@@ -356,12 +368,12 @@ def spspmm_stream_device(
     # split so the multi-GB host densify runs once.
     blkA, srA, scA, remA, _ = (
         split_A if split_A is not None
-        else _block_split(A, Bb, min_density)
+        else _block_split(A, Bb, min_density, block_dtype)
     )
     blkB, srB, scB, remB, _ = (
         split_B if split_B is not None
         else (split_A if (split_A is not None and B is A)
-              else _block_split(B, Bb, min_density))
+              else _block_split(B, Bb, min_density, block_dtype))
     )
     if blkA is not None and blkB is not None:
         # D@D on the MXU
