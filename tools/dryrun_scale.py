@@ -42,6 +42,9 @@ def main() -> int:
     ap.add_argument("--deg", type=float, default=14.5,
                     help="average degree (papers100M is ~14.5)")
     ap.add_argument("--feat", type=int, default=32)
+    ap.add_argument("--hier", action="store_true",
+                    help="also certify the DCN x ICI hierarchical "
+                         "schedule on a (2, P/2) mesh at each P")
     args = ap.parse_args()
 
     n_max = max(args.devices)
@@ -124,6 +127,33 @@ def main() -> int:
                     1.0, float(np.abs(want).max())) or not grad_ok):
                 ok = False
                 rec[schedule]["fail"] = True
+        if args.hier and P >= 4 and P % 2 == 0:
+            from pytorch_sparse_tpu.parallel import (
+                HierShardedSparseMatrix, dist_spmm_hier, make_mesh_hier,
+            )
+
+            meshh = make_mesh_hier(2, P // 2)
+            Ahh = HierShardedSparseMatrix.from_sparse_tensor(adj, meshh)
+            xh = Ahh.shard_dense(x_full)
+            t0 = time.perf_counter()
+            res = jax.jit(
+                lambda a, s: dist_spmm_hier(a, s, "sum")
+            )(Ahh, xh)
+            got = np.asarray(Ahh.unshard_dense(res))
+            t_h = time.perf_counter() - t0
+            errh = float(np.abs(got - want).max())
+            g = jax.jit(jax.grad(
+                lambda s: (dist_spmm_hier(Ahh, s, "sum") ** 2).sum()
+            ))(xh)
+            gradh = bool(jnp.isfinite(g).all())
+            rec["hier_2x%d" % (P // 2)] = {
+                "compile_run_s": round(t_h, 2), "max_err": errh,
+                "grad_finite": gradh,
+            }
+            if (t_h > args.budget_s
+                    or errh > 1e-3 * max(1.0, float(np.abs(want).max()))
+                    or not gradh):
+                ok = False
         print(json.dumps(rec), flush=True)
 
     # Program-size growth check: rolled ring must be ~O(1) in P (table
