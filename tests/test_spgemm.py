@@ -232,12 +232,14 @@ def test_spspmm_stream_device_matches_dense_oracle():
               np.asarray(B.storage.value()))
     want = dA @ dB
 
-    for Bb, mind in [(32, 0.05), (16, 0.02)]:
+    for Bb, mind, bdt in [(32, 0.05, None), (16, 0.02, None),
+                          (32, 0.05, jnp.bfloat16)]:
         got = np.zeros((M, M), np.float32)
         n_blocks = n_coo = 0
         for piece in spspmm_stream_device(A, B, Bb=Bb,
                                           min_density=mind,
-                                          max_out_blocks=7):
+                                          max_out_blocks=7,
+                                          block_dtype=bdt):
             if piece[0] == "blocks":
                 _, rows, cols, cblk = piece
                 cb = np.asarray(cblk)
@@ -254,8 +256,9 @@ def test_spspmm_stream_device_matches_dense_oracle():
                           1.0 if v is None else np.asarray(v))
                 n_coo += blk.nnz()
         assert n_blocks > 0, "community graph must produce device blocks"
-        assert np.allclose(got, want, atol=2e-2), (
-            f"Bb={Bb}: max err {np.abs(got - want).max():.2e}"
+        tol = 2e-2 if bdt is None else 0.02 * float(np.abs(want).max())
+        assert np.allclose(got, want, atol=tol), (
+            f"Bb={Bb} dtype={bdt}: max err {np.abs(got - want).max():.2e}"
         )
 
 
