@@ -23,7 +23,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -67,7 +66,7 @@ def main():
     print(json.dumps(report), flush=True)
 
     # --- block structure (host): occupied (B, B) blocks above a
-    # min-占 density so the comparison mirrors the sum router's split
+    # minimum density so the comparison mirrors the sum router's split
     B = args.B
     row = np.asarray(padj.storage.numpy_view("row"))
     col = np.asarray(padj.storage.numpy_view("col"))

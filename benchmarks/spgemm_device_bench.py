@@ -48,8 +48,6 @@ def main():
 
     import timing  # noqa: F401  (persistent compile cache)
     import jax.numpy as jnp
-
-    import pytorch_sparse_tpu as ts
     from pytorch_sparse_tpu.ops.spgemm import (
         _block_split, expansion_terms, spspmm_stream, spspmm_stream_device,
     )
